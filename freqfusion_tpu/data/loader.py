@@ -1,0 +1,62 @@
+"""Minimal batching iterator over map-style datasets.
+
+Replaces torch DataLoader for the fusion training loop. Host-sharded input:
+``Batcher(shard_id, num_shards)`` partitions the sample index space, which
+is how per-host loading composes with a data mesh (each host feeds its
+local devices; see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Sequence
+
+import numpy as np
+
+__all__ = ["Batcher"]
+
+
+class Batcher:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_id :: self.num_shards]
+        stop = (len(idx) // self.batch_size * self.batch_size
+                if self.drop_last else len(idx))
+        for start in range(0, stop, self.batch_size):
+            items = [self.dataset[int(i)] for i in idx[start : start + self.batch_size]]
+            yield _collate(items)
+
+
+def _collate(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals  # e.g. names
+    return out

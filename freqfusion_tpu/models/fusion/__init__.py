@@ -1,0 +1,11 @@
+from .frequency import (
+    DCTDecomposition, DWTDecomposition, FFTDecomposition,
+    AdaptiveBandFusion, MultiDomainFrequencyDecomposition,
+)
+from .lka import (
+    LargeKernelAttention, LKABlock,
+    EnhancedCrossBandWithLKA, EnhancedCollaborativeWithLKA,
+)
+from .hierarchical import HierarchicalMultiResolutionFusion
+from .edge import LaplacianPyramidRefinement
+from .fusion_v2 import CompleteEnhancedFusionSR, DynamicExpertSelector

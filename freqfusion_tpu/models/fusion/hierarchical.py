@@ -1,0 +1,93 @@
+"""Phase 5a: hierarchical multi-resolution fusion (HR/4 -> HR/2 -> HR).
+
+Re-design of src/models/hierarchical_fusion.py:67-201. Each stage is
+conv -> spatial gate -> residual block over the concatenated expert RGBs;
+learnable cross-stage residual weights start at 0.2. Resolution levels are
+derived from the incoming HR size (aspect-ratio preserving).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.resize import resize_bilinear
+
+__all__ = ["SpatialGate", "FusionResBlock", "HierarchicalMultiResolutionFusion"]
+
+
+class SpatialGate(nn.Module):
+    """Per-pixel importance gate: channel squeeze -> sigmoid map."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = nn.Conv(c // 4, (1, 1), name="gate_0")(x)
+        g = nn.Conv(1, (1, 1), name="gate_2")(nn.gelu(g))
+        return x * nn.sigmoid(g)
+
+
+class FusionResBlock(nn.Module):
+    """conv-GELU-conv with a 0.1-init learnable residual scale."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", lambda rng: jnp.asarray(0.1, jnp.float32))
+        h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    name="block_0")(x)
+        h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    name="block_2")(nn.gelu(h))
+        return x + scale * h
+
+
+def _conv_gelu_pair(x, c1, c2, name):
+    x = nn.Conv(c1, (3, 3), padding=((1, 1), (1, 1)), name=f"{name}_0")(x)
+    x = nn.Conv(c2, (3, 3), padding=((1, 1), (1, 1)), name=f"{name}_2")(nn.gelu(x))
+    return nn.gelu(x)
+
+
+class HierarchicalMultiResolutionFusion(nn.Module):
+    num_experts: int = 4
+    base_channels: int = 128
+
+    @nn.compact
+    def __call__(self, expert_outputs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        bc = self.base_channels
+        stack = jnp.concatenate(list(expert_outputs.values()), axis=-1)
+        _, h_hr, w_hr, _ = stack.shape
+        h1, w1 = max(h_hr // 4, 1), max(w_hr // 4, 1)
+        h2, w2 = max(h_hr // 2, 1), max(w_hr // 2, 1)
+
+        rw12 = self.param("residual_weight_1_2",
+                          lambda rng: jnp.asarray(0.2, jnp.float32))
+        rw23 = self.param("residual_weight_2_3",
+                          lambda rng: jnp.asarray(0.2, jnp.float32))
+
+        # Stage 1 — coarse
+        s1_in = resize_bilinear(stack, h1, w1)
+        f1 = _conv_gelu_pair(s1_in, bc, bc, "stage1_conv")
+        f1 = SpatialGate(name="stage1_gate")(f1)
+        f1 = FusionResBlock(name="stage1_res")(f1)
+
+        # Stage 2 — mid
+        f1_up = resize_bilinear(f1, h2, w2)
+        s2_in = jnp.concatenate([f1_up, resize_bilinear(stack, h2, w2)], axis=-1)
+        f2 = _conv_gelu_pair(s2_in, bc, bc, "stage2_conv")
+        f2 = SpatialGate(name="stage2_gate")(f2)
+        f2 = FusionResBlock(name="stage2_res")(f2)
+        f2 = f2 + rw12 * f1_up
+
+        # Stage 3 — full HR
+        f2_up = resize_bilinear(f2, h_hr, w_hr)
+        s3_in = jnp.concatenate([f2_up, stack], axis=-1)
+        f3 = _conv_gelu_pair(s3_in, bc, bc // 2, "stage3_conv")
+        f3 = SpatialGate(name="stage3_gate")(f3)
+        f3 = FusionResBlock(name="stage3_res")(f3)
+        f3 = f3 + rw23 * f2_up[..., : bc // 2]
+
+        out = nn.Conv(bc // 4, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb_0")(f3)
+        out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb_2")(nn.gelu(out))
+        return nn.sigmoid(out)

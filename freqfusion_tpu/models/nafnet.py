@@ -1,0 +1,155 @@
+"""NAFNet-SIDD-64 expert, TPU-native (flax.linen, NHWC).
+
+Re-implementation of the "activation-free" UNet denoiser used as the CNN
+expert (reference: src/models/nafnet/nafnet_arch.py, src/models/nafnet/
+__init__.py). Wrapped for x4 SR as bicubic-upscale -> UNet refinement
+(NAFNetSR.forward, nafnet/__init__.py:117-139).
+
+TPU-first choices:
+  - NHWC layout; LayerNorm2d becomes a plain last-axis LayerNorm.
+  - SimpleGate splits the channel (last) axis — a free reshape on TPU.
+  - The decoder's 1x1-conv + PixelShuffle upsampler keeps torch's channel
+    ordering so converted weights drop in (ops/pixel_shuffle.py).
+  - ``apply`` returns (sr, features) explicitly; no forward hooks. The
+    feature is the input of the final ``ending`` conv, bilinearly resized
+    to LR resolution exactly as the reference hook path does
+    (expert_loader.py:554-568, 630-636).
+
+Submodule names mirror the torch state-dict keys (intro, encoders, downs,
+middle_blks, ups, decoders, ending; per-block conv1..conv5, sca, norm1/2,
+beta, gamma) so checkpoint conversion is a mechanical transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.pad import pad_zeros
+from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.pooling import global_avg_pool
+from ..ops.resize import resize_bilinear, upscale_bicubic
+
+__all__ = ["NAFBlock", "NAFNet", "NAFNetSR"]
+
+
+def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
+    """Channel-split multiply (nafnet_arch.py:47-52)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2
+
+
+class NAFBlock(nn.Module):
+    """LayerNorm -> 1x1 -> 3x3 DW -> SimpleGate -> SCA -> 1x1, plus gated FFN;
+    learnable beta/gamma residual scales (nafnet_arch.py:58-131)."""
+
+    c: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
+        c = self.c
+        dw = c * self.dw_expand
+
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(inp)
+        x = nn.Conv(dw, (1, 1), name="conv1")(x)
+        x = nn.Conv(dw, (3, 3), padding=((1, 1), (1, 1)),
+                    feature_group_count=dw, name="conv2")(x)
+        x = simple_gate(x)
+        # Simplified channel attention: pooled 1x1 conv scale
+        sca = nn.Conv(dw // 2, (1, 1), name="sca")(global_avg_pool(x))
+        x = x * sca
+        x = nn.Conv(c, (1, 1), name="conv3")(x)
+
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        y = inp + x * beta
+
+        x = nn.LayerNorm(epsilon=1e-6, name="norm2")(y)
+        x = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(x)
+        x = simple_gate(x)
+        x = nn.Conv(c, (1, 1), name="conv5")(x)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (c,))
+        return y + x * gamma
+
+
+class NAFNet(nn.Module):
+    """UNet-style restorer: width 64, enc [2,2,4,8], middle 12, dec [2,2,2,2]
+    (nafnet_arch.py:137-225). Residual output (x + input)."""
+
+    img_channel: int = 3
+    width: int = 64
+    middle_blk_num: int = 12
+    enc_blk_nums: Sequence[int] = (2, 2, 4, 8)
+    dec_blk_nums: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray,
+                 return_ending_input: bool = False):
+        b, h, w, _ = inp.shape
+        padder = 2 ** len(self.enc_blk_nums)
+        ph = (padder - h % padder) % padder
+        pw = (padder - w % padder) % padder
+        x_in = pad_zeros(inp, 0, ph, 0, pw) if (ph or pw) else inp
+
+        x = nn.Conv(self.width, (3, 3), padding=((1, 1), (1, 1)), name="intro")(x_in)
+
+        chan = self.width
+        skips = []
+        for i, num in enumerate(self.enc_blk_nums):
+            for j in range(num):
+                x = NAFBlock(chan, name=f"encoders_{i}_{j}")(x)
+            skips.append(x)
+            x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), padding="VALID",
+                        name=f"downs_{i}")(x)
+            chan *= 2
+
+        for j in range(self.middle_blk_num):
+            x = NAFBlock(chan, name=f"middle_blks_{j}")(x)
+
+        for i, num in enumerate(self.dec_blk_nums):
+            x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"ups_{i}")(x)
+            x = pixel_shuffle(x, 2)
+            chan //= 2
+            x = x + skips[-(i + 1)]
+            for j in range(num):
+                x = NAFBlock(chan, name=f"decoders_{i}_{j}")(x)
+
+        ending_input = x
+        x = nn.Conv(self.img_channel, (3, 3), padding=((1, 1), (1, 1)),
+                    name="ending")(x)
+        x = x + x_in
+        out = x[:, :h, :w, :]
+        if return_ending_input:
+            return out, ending_input[:, :h, :w, :]
+        return out
+
+
+class NAFNetSR(nn.Module):
+    """Bicubic x`upscale` + NAFNet refinement, clamped to [0,1]
+    (nafnet/__init__.py:117-139). Returns (sr, feat) where feat is the
+    ending-conv input resized to LR resolution ([B, H, W, 64])."""
+
+    upscale: int = 4
+    width: int = 64
+    middle_blk_num: int = 12
+    enc_blk_nums: Sequence[int] = (2, 2, 4, 8)
+    dec_blk_nums: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, h, w, _ = x.shape
+        x_up = upscale_bicubic(x, self.upscale)
+        out, feat_hr = NAFNet(
+            width=self.width,
+            middle_blk_num=self.middle_blk_num,
+            enc_blk_nums=self.enc_blk_nums,
+            dec_blk_nums=self.dec_blk_nums,
+            name="nafnet",
+        )(x_up, return_ending_input=True)
+        sr = jnp.clip(out, 0.0, 1.0)
+        feat_lr = resize_bilinear(feat_hr, h, w)
+        return sr, feat_lr

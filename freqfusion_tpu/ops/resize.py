@@ -1,0 +1,105 @@
+"""Exact PyTorch-semantics image resizing as separable matmuls (MXU-friendly).
+
+The reference pipeline leans on ``F.interpolate(..., align_corners=False)``
+in dozens of places (e.g. src/models/hierarchical_fusion.py:156,
+src/models/nafnet/__init__.py:128-133, src/models/enhanced_fusion_v2.py:735).
+Holding the 0.05 dB parity budget requires matching those kernels exactly:
+
+  - half-pixel source coordinates: src = (dst + 0.5) * (in/out) - 0.5
+  - bilinear: 2 taps, edge-clamped
+  - bicubic: 4 taps with Keys kernel a = -0.75 (PyTorch's constant;
+    note jax.image.resize uses a = -0.5, which does NOT match), edge-clamped
+  - no antialiasing (PyTorch's default for interpolate)
+
+Rather than gathers, each 1-D resize is a dense [out, in] matrix applied as a
+matmul along H then W. The matrices are built in numpy at trace time (static
+shapes) and constant-folded by XLA; the matmuls map straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_bilinear", "resize_bicubic", "upscale_bicubic", "resize_matrix"]
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with PyTorch's a=-0.75."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _resize_matrix_np(in_size: int, out_size: int, method: str) -> np.ndarray:
+    """Dense [out_size, in_size] resize matrix with PyTorch semantics."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    if method == "bilinear":
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        taps = [(i0, 1.0 - frac), (i0 + 1, frac)]
+    elif method == "bicubic":
+        i0 = np.floor(src).astype(np.int64)
+        frac = src - i0
+        taps = [(i0 - 1 + t, _cubic_kernel(frac - (t - 1.0))) for t in range(4)]
+    else:
+        raise ValueError(f"unknown resize method: {method}")
+
+    rows = np.arange(out_size)
+    for idx, w in taps:
+        np.add.at(mat, (rows, np.clip(idx, 0, in_size - 1)), w)
+    return mat.astype(np.float32)
+
+
+def resize_matrix(in_size: int, out_size: int, method: str) -> jnp.ndarray:
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, method))
+
+
+def _resize(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarray:
+    """Separable resize of NHWC (or HWC) input to (out_h, out_w)."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if h != out_h:
+        rh = resize_matrix(h, out_h, method)
+        xf = jnp.einsum("oh,bhwc->bowc", rh, xf, preferred_element_type=jnp.float32)
+    if w != out_w:
+        rw = resize_matrix(w, out_w, method)
+        xf = jnp.einsum("ow,bhwc->bhoc", rw, xf, preferred_element_type=jnp.float32)
+    out = xf.astype(dtype)
+    return out[0] if squeeze else out
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Matches torch.nn.functional.interpolate(mode='bilinear', align_corners=False)."""
+    return _resize(x, out_h, out_w, "bilinear")
+
+
+def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Matches torch.nn.functional.interpolate(mode='bicubic', align_corners=False)."""
+    return _resize(x, out_h, out_w, "bicubic")
+
+
+def upscale_bicubic(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bicubic x`scale` upscaling (the NAFNetSR front end, nafnet/__init__.py:128-133)."""
+    _, h, w, _ = (x.shape if x.ndim == 4 else (1, *x.shape))
+    return resize_bicubic(x, h * scale, w * scale)

@@ -1,0 +1,2 @@
+from .metrics import rgb_to_y, psnr, ssim, MetricAccumulator
+from .image_io import read_image, write_image
