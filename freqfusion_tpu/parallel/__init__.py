@@ -1,0 +1,4 @@
+from .mesh import (
+    make_mesh, shard_batch, replicate, batch_sharding,
+    data_parallel_shardings, P,
+)
