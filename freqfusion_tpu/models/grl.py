@@ -1,0 +1,361 @@
+"""GRL-B expert: Global/Regional/Local transformer, TPU-native.
+
+Re-design of the reference (src/models/grl/): 7 TransformerStages
+(depths [4,4,8,8,8,4,4], embed 180), each EfficientMixAttnTransformerBlock
+mixing half-channel 8x8 window attention (shifted on even blocks) with
+half-channel **anchored stripe attention** (anchor = 2x avg-pool + linear
+projection; two-step attention anchor<-window then query<-anchor,
+mixed_attn_block_efficient.py:256-259), plus a CAB local conv branch
+(local_connection=True). Attention is cosine-similarity with a clamped
+learnable logit scale and a CPB-MLP continuous relative position bias
+(AffineTransform, mixed_attn_block_efficient.py:23-58). GRL-B config from
+src/models/grl/__init__.py:76-160; ~20.2M params.
+
+TPU-first choices:
+  - NHWC spatial form end-to-end; BLC<->BCHW shuffles of the reference
+    vanish (window partition is a reshape).
+  - The 13 per-resolution buffers (grl_arch.py:386-453) become numpy
+    precomputes keyed on static shapes (ops/grl_tables.py), constant-folded
+    per jit shape bucket.
+  - Frozen inference expert: no dropout / drop-path.
+  - Returns (sr, conv_after_body feature) explicitly (the hook target named
+    at src/models/grl/__init__.py:108-110).
+
+GRL-B pins stripe_size=[8,8], stripe_groups=[None,None], stripe_shift=False
+— stripe geometry is static, and only the window-attention mask depends on
+input size. The dynamic stripe-group geometry of the general GRL
+(_get_stripe_info, mixed_attn_block_efficient.py:61-70) is intentionally
+not carried: it is dead code for the shipped checkpoint.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grl_tables import (
+    relative_coords_table_all, relative_position_index_simple,
+    window_shift_mask,
+)
+from ..ops.pad import pad_reflect
+from ..ops.pixel_shuffle import pixel_shuffle
+from ..ops.pooling import avg_pool_2x2, global_avg_pool
+from ..ops.window_attention import window_partition, window_reverse
+
+__all__ = ["GRL"]
+
+_RGB_MEAN = np.array([0.4488, 0.4371, 0.4040], np.float32)
+
+
+class AffineTransform(nn.Module):
+    """Logit-scaled cosine attention map + CPB-MLP relative position bias
+    (mixed_attn_block_efficient.py:23-58)."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, attn: jnp.ndarray, table: jnp.ndarray,
+                 index: np.ndarray,
+                 mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        b_, h, n1, n2 = attn.shape
+        logit_scale = self.param(
+            "logit_scale",
+            lambda rng: jnp.log(10.0 * jnp.ones((self.num_heads, 1, 1))))
+        attn = attn * jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
+
+        bias_table = nn.Dense(512, name="cpb_mlp_0")(table)
+        bias_table = nn.Dense(self.num_heads, use_bias=False,
+                              name="cpb_mlp_2")(nn.relu(bias_table))
+        bias_table = bias_table.reshape(-1, self.num_heads)
+        bias = bias_table[jnp.asarray(index.reshape(-1))]
+        bias = bias.reshape(n1, n2, -1).transpose(2, 0, 1)
+        attn = attn + (16.0 * nn.sigmoid(bias))[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n1, n2) + mask[None, :, None]
+            attn = attn.reshape(b_, h, n1, n2)
+        return attn
+
+
+def _cosine_attn(q: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """F.normalize(q) @ F.normalize(k).T (eps 1e-12, torch semantics)."""
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+    return jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
+                      preferred_element_type=jnp.float32)
+
+
+def _softmax(attn: jnp.ndarray) -> jnp.ndarray:
+    attn = attn - attn.max(axis=-1, keepdims=True)
+    attn = jnp.exp(attn)
+    return attn / attn.sum(axis=-1, keepdims=True)
+
+
+def _heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B_, N, C] -> [B_, nH, N, C/nH]."""
+    b_, n, c = x.shape
+    return x.reshape(b_, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge(x: jnp.ndarray) -> jnp.ndarray:
+    """[B_, nH, N, hd] -> [B_, N, C]."""
+    b_, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b_, n, h * d)
+
+
+class WindowAttentionGRL(nn.Module):
+    """Half-channel 8x8 (shifted) window attention with cosine similarity
+    (mixed_attn_block_efficient.py:98-165)."""
+
+    window_size: int
+    num_heads: int
+    shift: bool
+
+    @nn.compact
+    def __call__(self, qkv: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c3 = qkv.shape
+        c = c3 // 3
+        ws = self.window_size
+        ss = ws // 2 if self.shift else 0
+        if ss:
+            qkv = jnp.roll(qkv, shift=(-ss, -ss), axis=(1, 2))
+        qkv_w = window_partition(qkv, ws)  # [B_, N, 3C]
+        n = ws * ws
+        q, k, v = [
+            _heads(t, self.num_heads)
+            for t in jnp.split(qkv_w, 3, axis=-1)]
+
+        attn = _cosine_attn(q, k)
+        table = jnp.asarray(relative_coords_table_all((ws, ws), 1))
+        index = relative_position_index_simple((ws, ws), 1, True)
+        mask_np = window_shift_mask(h, w, ws, ss)
+        mask = None if mask_np is None else jnp.asarray(mask_np)
+        attn = AffineTransform(self.num_heads, name="attn_transform")(
+            attn, table, index, mask)
+        out = _merge(jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn), v,
+                                preferred_element_type=jnp.float32
+                                ).astype(qkv.dtype))
+        out = window_reverse(out, ws, h, w)
+        if ss:
+            out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))
+        return out
+
+
+class AnchorStripeAttention(nn.Module):
+    """Two-step anchored attention: anchor<-window then query<-anchor
+    (mixed_attn_block_efficient.py:177-279). GRL-B: static 8x8 stripes,
+    4x4 anchors, no stripe shift."""
+
+    stripe_size: Tuple[int, int]
+    num_heads: int
+    down_factor: int = 2
+
+    @nn.compact
+    def __call__(self, qkv: jnp.ndarray, anchor: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c3 = qkv.shape
+        c = c3 // 3
+        sh, sw = self.stripe_size
+        ah, aw = sh // self.down_factor, sw // self.down_factor
+
+        qkv_w = window_partition(qkv, sh, sw)            # [B_, N1, 3C]
+        anchor_w = window_partition(anchor, ah, aw)      # [B_, N2, C]
+        q, k, v = [_heads(t, self.num_heads)
+                   for t in jnp.split(qkv_w, 3, axis=-1)]
+        a = _heads(anchor_w, self.num_heads)
+
+        table = jnp.asarray(
+            relative_coords_table_all((sh, sw), self.down_factor))
+        index_a2w = relative_position_index_simple(
+            (sh, sw), self.down_factor, False)
+        index_w2a = relative_position_index_simple(
+            (sh, sw), self.down_factor, True)
+
+        # stage 1: anchor attends to the window (keys/values)
+        attn1 = _cosine_attn(a, k)
+        attn1 = AffineTransform(self.num_heads, name="attn_transform1")(
+            attn1, table, index_a2w, None)
+        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn1), v,
+                       preferred_element_type=jnp.float32).astype(qkv.dtype)
+        # stage 2: queries attend to the anchor summary
+        attn2 = _cosine_attn(q, a)
+        attn2 = AffineTransform(self.num_heads, name="attn_transform2")(
+            attn2, table, index_w2a, None)
+        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn2), x,
+                       preferred_element_type=jnp.float32).astype(qkv.dtype)
+
+        return window_reverse(_merge(x), sh, h, w, sw)
+
+
+class CAB(nn.Module):
+    """Local conv branch: conv-GELU-conv + RCAN channel attention
+    (mixed_attn_block.py:948-984; compress 4, reduction 18)."""
+
+    dim: int
+    compress_ratio: int = 4
+    reduction: int = 18
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Conv(self.dim // self.compress_ratio, (3, 3),
+                    padding=((1, 1), (1, 1)), name="cab_0")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                    name="cab_2")(y)
+        a = nn.Conv(self.dim // self.reduction, (1, 1),
+                    name="ca_1")(global_avg_pool(y))
+        a = nn.Conv(self.dim, (1, 1), name="ca_3")(nn.relu(a))
+        return y * nn.sigmoid(a)
+
+
+class MixedAttention(nn.Module):
+    """Shared QKV -> parallel window + anchored-stripe halves -> proj
+    (mixed_attn_block_efficient.py:282-403)."""
+
+    dim: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: int
+    window_shift: bool
+    stripe_size: Tuple[int, int]
+    anchor_down_factor: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.dim
+        qkv = nn.Dense(3 * c, name="qkv")(x)           # [B,H,W,3C]
+        qkv_window = qkv[..., : 3 * c // 2]
+        qkv_stripe = qkv[..., 3 * c // 2:]
+        # anchor: avgpool 2x + linear to C/2 (AnchorLinear,
+        # mixed_attn_block.py:712-736)
+        anchor = nn.Dense(c // 2, name="anchor")(avg_pool_2x2(x))
+
+        x_window = WindowAttentionGRL(
+            self.window_size, self.num_heads_w, self.window_shift,
+            name="window_attn")(qkv_window)
+        x_stripe = AnchorStripeAttention(
+            self.stripe_size, self.num_heads_s, self.anchor_down_factor,
+            name="stripe_attn")(qkv_stripe, anchor)
+        out = jnp.concatenate([x_window, x_stripe], axis=-1)
+        return nn.Dense(c, name="proj")(out)
+
+
+class EfficientMixAttnTransformerBlock(nn.Module):
+    """Post-norm mixed attention + CAB local branch + FFN
+    (mixed_attn_block_efficient.py:406-560)."""
+
+    dim: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: int
+    window_shift: bool
+    stripe_type: str      # "H" or "W"
+    stripe_size: Tuple[int, int]
+    anchor_down_factor: int
+    mlp_ratio: float = 2.0
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ss = (self.stripe_size if self.stripe_type == "H"
+              else self.stripe_size[::-1])
+        attn_out = MixedAttention(
+            self.dim, self.num_heads_w, self.num_heads_s, self.window_size,
+            self.window_shift, ss, self.anchor_down_factor,
+            name="attn")(x)
+        attn_out = nn.LayerNorm(epsilon=1e-5, name="norm1")(attn_out)
+        x = x + self.res_scale * attn_out + CAB(self.dim, name="conv")(x)
+
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(x)
+        y = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(y, approximate=False))
+        return x + self.res_scale * nn.LayerNorm(
+            epsilon=1e-5, name="norm2")(y)
+
+
+class TransformerStage(nn.Module):
+    """Blocks + 3x3 conv + stage residual (grl_arch.py:31-173)."""
+
+    dim: int
+    depth: int
+    num_heads_w: int
+    num_heads_s: int
+    window_size: int
+    stripe_size: Tuple[int, int]
+    anchor_down_factor: int
+    mlp_ratio: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        res = x
+        for i in range(self.depth):
+            res = EfficientMixAttnTransformerBlock(
+                self.dim, self.num_heads_w, self.num_heads_s,
+                self.window_size,
+                window_shift=(i % 2 == 0),
+                stripe_type="H" if i % 2 == 0 else "W",
+                stripe_size=self.stripe_size,
+                anchor_down_factor=self.anchor_down_factor,
+                mlp_ratio=self.mlp_ratio,
+                name=f"blocks_{i}")(res)
+        res = nn.Conv(self.dim, (3, 3), padding=((1, 1), (1, 1)),
+                      name="conv")(res)
+        return res + x
+
+
+class GRL(nn.Module):
+    """GRL-B super-resolution model; returns (sr, conv_after_body feature)."""
+
+    upscale: int = 4
+    embed_dim: int = 180
+    depths: Tuple[int, ...] = (4, 4, 8, 8, 8, 4, 4)
+    num_heads_w: int = 3
+    num_heads_s: int = 3
+    window_size: int = 8
+    stripe_size: Tuple[int, int] = (8, 8)
+    anchor_down_factor: int = 2
+    mlp_ratio: float = 2.0
+    img_range: float = 1.0
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, h, w, _ = x.shape
+        pad = self.window_size
+        ph = (pad - h % pad) % pad
+        pw = (pad - w % pad) % pad
+        if ph or pw:
+            x = pad_reflect(x, 0, ph, 0, pw)
+
+        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3)
+        x = (x - mean) * self.img_range
+
+        feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv_first")(x)
+        t = nn.LayerNorm(epsilon=1e-5, name="norm_start")(feat)
+        for i, depth in enumerate(self.depths):
+            t = TransformerStage(
+                self.embed_dim, depth, self.num_heads_w, self.num_heads_s,
+                self.window_size, self.stripe_size, self.anchor_down_factor,
+                self.mlp_ratio, name=f"layers_{i}")(t)
+        t = nn.LayerNorm(epsilon=1e-5, name="norm_end")(t)
+
+        body = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                       name="conv_after_body")(t)
+        feature = body  # hook target (grl/__init__.py:108-110)
+        feat = body + feat
+
+        up = nn.Conv(self.num_feat, (3, 3), padding=((1, 1), (1, 1)),
+                     name="conv_before_upsample_0")(feat)
+        up = nn.leaky_relu(up, 0.01)
+        for s in range(int(np.log2(self.upscale))):
+            up = nn.Conv(4 * self.num_feat, (3, 3), padding=((1, 1), (1, 1)),
+                         name=f"upsample_{2 * s}")(up)
+            up = pixel_shuffle(up, 2)
+        out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), name="conv_last")(up)
+
+        out = out / self.img_range + mean
+        return (out[:, : h * self.upscale, : w * self.upscale, :],
+                feature[:, :h, :w, :])

@@ -66,6 +66,24 @@ def install_mocks() -> None:
     }.items():
         sys.modules[name] = mod
 
+    if "omegaconf" not in sys.modules:
+        omegaconf = types.ModuleType("omegaconf")
+
+        class _NS:
+            def __init__(self, d):
+                self.__dict__.update(d)
+
+            def get(self, k, default=None):
+                return self.__dict__.get(k, default)
+
+        class OmegaConf:
+            @staticmethod
+            def create(d):
+                return _NS(dict(d))
+
+        omegaconf.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = omegaconf
+
     if "timm" not in sys.modules:
         timm = types.ModuleType("timm")
         timm_models = types.ModuleType("timm.models")
