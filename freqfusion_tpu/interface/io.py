@@ -1,0 +1,132 @@
+"""NTIRE submission interface: main(model_dir, input_path, output_path, device).
+
+Drop-in equivalent of the reference's models/team29_FreqFusionSR/io.py
+entry point (:295-347): loads the four expert checkpoints + fusion weights
+from ``model_dir`` and runs x4 SR over every image in ``input_path``.
+
+Checkpoint resolution order, per model:
+  1. native msgpack ``{name}.ckpt`` written by our tools, else
+  2. the reference's torch ``.pth`` files (DRCT-L_X4.pth, GRL-B_SR_x4.pth,
+     NAFNet-SIDD-width64.pth, MambaIR_x4.pth, fusion_best.pth), converted
+     on the fly via freqfusion_tpu.convert (requires torch on the host),
+  3. missing -> that expert degrades gracefully (bilinear image + zero
+     features, like cached_dataset.py:176-203 / train.py:739 warnings).
+
+``device`` is accepted for interface compatibility; device placement is
+JAX's (the default backend — a TPU under jit).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pipeline import FreqFusionPipeline, build_expert_models
+from ..utils.image_io import read_image, write_image
+
+__all__ = ["main", "load_pipeline"]
+
+_TORCH_FILES = {
+    "drct": "DRCT-L_X4.pth",
+    "grl": "GRL-B_SR_x4.pth",
+    "nafnet": "NAFNet-SIDD-width64.pth",
+    "mamba": "MambaIR_x4.pth",
+    "fusion": "fusion_best.pth",
+}
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def _convert_torch(name: str, path: str) -> Optional[Dict[str, Any]]:
+    from ..convert.common import load_torch_state_dict
+    sd = load_torch_state_dict(path)
+    if name == "drct":
+        from ..convert.drct import convert_drct
+        return convert_drct(sd)
+    if name == "grl":
+        from ..convert.grl import convert_grl
+        return convert_grl(sd)
+    if name == "nafnet":
+        from ..convert.nafnet import convert_nafnet
+        return convert_nafnet(sd)
+    if name == "mamba":
+        from ..convert.mambair import convert_mambair
+        return convert_mambair(sd)
+    if name == "fusion":
+        from ..convert.fusion import convert_fusion
+        return convert_fusion(sd)
+    return None
+
+
+def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    mdir = Path(model_dir)
+    for name in ("drct", "grl", "nafnet", "mamba", "fusion"):
+        native = mdir / f"{name}.ckpt"
+        torch_path = mdir / _TORCH_FILES[name]
+        if native.exists():
+            from ..training.checkpoint import load_pytree
+            from flax import serialization
+            with open(native, "rb") as f:
+                params[name] = serialization.msgpack_restore(f.read())
+            if verbose:
+                print(f"  loaded {name} from {native.name}")
+        elif torch_path.exists():
+            try:
+                params[name] = _convert_torch(name, str(torch_path))
+                if verbose:
+                    print(f"  converted {name} from {torch_path.name}")
+            except Exception as e:  # noqa: BLE001 — degrade like the reference
+                print(f"  ! {name} conversion failed: {e}")
+        else:
+            if verbose:
+                print(f"  ! {name} checkpoint not found "
+                      f"({native.name} / {torch_path.name})")
+    return params
+
+
+def load_pipeline(model_dir: str, scale: int = 4,
+                  init_missing_fusion: bool = True,
+                  verbose: bool = True) -> FreqFusionPipeline:
+    params = _load_params(model_dir, verbose)
+    if "fusion" not in params and init_missing_fusion:
+        # Random fusion weights (warned, like train.py:739)
+        import jax
+        from ..models.fusion.fusion_v2 import CompleteEnhancedFusionSR
+        print("  ! fusion weights missing — random init")
+        model = CompleteEnhancedFusionSR(upscale=scale)
+        h = w = 16
+        mock_imgs = {k: jnp.zeros((1, h * scale, w * scale, 3))
+                     for k in ("drct", "grl", "nafnet", "mamba")}
+        mock_feats = {k: jnp.zeros(
+            (1, h, w, FreqFusionPipeline.FEATURE_CHANNELS[k]))
+            for k in ("drct", "grl", "nafnet", "mamba")}
+        params["fusion"] = model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, h, w, 3)),
+                                      mock_imgs, mock_feats)
+    return FreqFusionPipeline(params, scale=scale)
+
+
+def main(model_dir: str, input_path: str, output_path: str,
+         device=None) -> None:
+    """NTIRE challenge ABI (reference io.py:295-347)."""
+    os.makedirs(output_path, exist_ok=True)
+    pipeline = load_pipeline(model_dir)
+
+    files = sorted(p for p in Path(input_path).iterdir()
+                   if p.suffix.lower() in _IMG_EXTS)
+    print(f"FreqFusionSR-TPU: {len(files)} images")
+    for i, path in enumerate(files):
+        t0 = time.perf_counter()
+        lr = read_image(str(path))[None]          # [1, H, W, 3]
+        sr = np.asarray(pipeline(jnp.asarray(lr))[0])
+        out_file = Path(output_path) / f"{path.stem}.png"
+        write_image(str(out_file), sr)
+        print(f"  [{i + 1}/{len(files)}] {path.name} "
+              f"{lr.shape[1]}x{lr.shape[2]} -> {sr.shape[0]}x{sr.shape[1]} "
+              f"({time.perf_counter() - t0:.2f}s)")

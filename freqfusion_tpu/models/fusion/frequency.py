@@ -106,7 +106,7 @@ class DCTDecomposition(nn.Module):
         out = []
         for band in range(3):
             masked = coeffs * masks[band]
-            spatial = jnp.einsum("ik,...kl,jl->...ij", basis, masked, basis,
+            spatial = jnp.einsum("ki,...kl,lj->...ij", basis, masked, basis,
                                  preferred_element_type=jnp.float32)
             img = spatial.transpose(0, 1, 4, 2, 5, 3).reshape(b, hp, wp, c)
             out.append(img[:, :h, :w, :] * band_scale[band])

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..ops.pad import pad_zeros
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.pooling import global_avg_pool
-from ..ops.resize import resize_bilinear, upscale_bicubic
+from ..ops.resize import upscale_bicubic
 
 __all__ = ["NAFBlock", "NAFNet", "NAFNetSR"]
 
@@ -130,8 +130,10 @@ class NAFNet(nn.Module):
 
 class NAFNetSR(nn.Module):
     """Bicubic x`upscale` + NAFNet refinement, clamped to [0,1]
-    (nafnet/__init__.py:117-139). Returns (sr, feat) where feat is the
-    ending-conv input resized to LR resolution ([B, H, W, 64])."""
+    (nafnet/__init__.py:117-139). Returns (sr, feat_hr) where feat_hr is
+    the ending-conv input at HR resolution ([B, sH, sW, 64]) — callers
+    resize it to LR like the reference hook path (io.py:255-258,
+    expert_loader.py:630-636)."""
 
     upscale: int = 4
     width: int = 64
@@ -151,5 +153,4 @@ class NAFNetSR(nn.Module):
             name="nafnet",
         )(x_up, return_ending_input=True)
         sr = jnp.clip(out, 0.0, 1.0)
-        feat_lr = resize_bilinear(feat_hr, h, w)
-        return sr, feat_lr
+        return sr, feat_hr

@@ -1,0 +1,122 @@
+"""Full FreqFusionSR pipeline: 4 frozen experts + fusion, one XLA program.
+
+Functional replacement of the reference's submission path
+(models/team29_FreqFusionSR/io.py:222-289): pad LR to a multiple of 16
+(reflect), run DRCT / GRL / NAFNet / MambaIR, crop SR outputs to 4x the
+original size and features to the original LR size (NAFNet's HR feature is
+bilinearly resized down, io.py:255-258), then run the fusion network on the
+*unpadded* LR. Where the reference runs experts sequentially with
+``torch.cuda.empty_cache()`` between them for OOM safety, here the whole
+thing is one jitted function — XLA owns scheduling and memory.
+
+Expert execution is also exposed separately (``run_experts``) for the
+Decoupled Compute cache-extraction workflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pad import pad_reflect
+from ..ops.resize import resize_bilinear
+from .drct import DRCT
+from .fusion.fusion_v2 import CompleteEnhancedFusionSR, EXPERT_ORDER
+from .grl import GRL
+from .mambair import MambaIR
+from .nafnet import NAFNetSR
+
+__all__ = ["FreqFusionPipeline", "build_expert_models", "EXPERT_ORDER"]
+
+
+def build_expert_models(scale: int = 4, scan_chunk: int = 512
+                        ) -> Dict[str, Any]:
+    """The four frozen experts in their challenge configurations
+    (expert_loader.py:252-262, 286-338; io.py:156-163)."""
+    return {
+        "drct": DRCT(upscale=scale, embed_dim=180, num_layers=12,
+                     num_heads=6, window_size=16),
+        "grl": GRL(upscale=scale, embed_dim=180,
+                   depths=(4, 4, 8, 8, 8, 4, 4), num_heads_w=3,
+                   num_heads_s=3, window_size=8),
+        "nafnet": NAFNetSR(upscale=scale, width=64, middle_blk_num=12,
+                           enc_blk_nums=(2, 2, 4, 8),
+                           dec_blk_nums=(2, 2, 2, 2)),
+        "mamba": MambaIR(upscale=scale, embed_dim=180,
+                         depths=(6,) * 6, mlp_ratio=2.0,
+                         scan_chunk=scan_chunk),
+    }
+
+
+class FreqFusionPipeline:
+    """Holds models + params; exposes jitted full/expert forwards.
+
+    params layout: {'drct': vars, 'grl': vars, 'nafnet': vars,
+                    'mamba': vars, 'fusion': vars} — any expert may be
+    absent (graceful degradation to zero features / bilinear image like
+    cached_dataset.py:176-203)."""
+
+    FEATURE_CHANNELS = {"drct": 180, "grl": 180, "nafnet": 64, "mamba": 180}
+
+    def __init__(self, params: Dict[str, Any], scale: int = 4,
+                 fusion_model: Optional[CompleteEnhancedFusionSR] = None,
+                 scan_chunk: int = 512):
+        self.params = params
+        self.scale = scale
+        self.models = build_expert_models(scale, scan_chunk)
+        self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)
+        self._jit_full = jax.jit(self._forward_full)
+        self._jit_experts = jax.jit(self._run_experts_padded)
+
+    # -- core ------------------------------------------------------------
+    def _run_experts_padded(self, params, lr_padded: jnp.ndarray,
+                            ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        """Experts on a pre-padded (multiple-of-16) LR batch; full-size out."""
+        imgs, feats = {}, {}
+        for name in EXPERT_ORDER:
+            if name not in params:
+                continue
+            sr, feat = self.models[name].apply(params[name], lr_padded)
+            if name == "mamba":
+                sr = jnp.clip(sr, 0.0, 1.0)  # io.py:263
+            imgs[name] = sr
+            feats[name] = feat
+        return imgs, feats
+
+    def _forward_full(self, params, lr: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = lr.shape
+        s = self.scale
+        ph = (16 - h % 16) % 16
+        pw = (16 - w % 16) % 16
+        lr_padded = pad_reflect(lr, 0, ph, 0, pw) if (ph or pw) else lr
+
+        imgs, feats = self._run_experts_padded(params, lr_padded)
+        hp, wp = lr_padded.shape[1:3]
+        for name in EXPERT_ORDER:
+            if name in imgs:
+                imgs[name] = imgs[name][:, : h * s, : w * s, :]
+                f = feats[name]
+                if f.shape[1] != hp or f.shape[2] != wp:
+                    # NAFNet feature is HR-resolution; resize to LR
+                    f = resize_bilinear(f, h, w)
+                else:
+                    f = f[:, :h, :w, :]
+                feats[name] = f
+            else:
+                imgs[name] = resize_bilinear(lr, h * s, w * s)
+                feats[name] = jnp.zeros(
+                    (b, h, w, self.FEATURE_CHANNELS[name]), lr.dtype)
+
+        return self.fusion.apply(params["fusion"], lr, imgs, feats)
+
+    # -- public ------------------------------------------------------------
+    def __call__(self, lr: jnp.ndarray) -> jnp.ndarray:
+        """LR [B, H, W, 3] in [0,1] -> SR [B, 4H, 4W, 3]."""
+        return self._jit_full(self.params, lr)
+
+    def run_experts(self, lr_padded: jnp.ndarray):
+        """Expert outputs/features for cache extraction (padded input)."""
+        return self._jit_experts(self.params, lr_padded)

@@ -44,4 +44,4 @@ def test_nafnet_sr_matches_torch_reference():
         out = tnaf(x_up).clamp(0, 1).numpy().transpose(0, 2, 3, 1)
 
     np.testing.assert_allclose(np.asarray(sr), out, atol=3e-4, rtol=1e-3)
-    assert feat.shape == (1, 13, 18, 16)
+    assert feat.shape == (1, 52, 72, 16)
