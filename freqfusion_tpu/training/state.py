@@ -27,9 +27,10 @@ __all__ = ["TrainState", "create_optimizer", "ema_update", "make_train_step",
 Params = Any
 
 
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class TrainState:
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Params
     opt_state: optax.OptState
@@ -38,9 +39,6 @@ class TrainState:
     # blocks carry BN like the reference, large_kernel_attention.py:84).
     model_state: Optional[Params] = None
     rng: Optional[jnp.ndarray] = None
-
-    def replace(self, **kw) -> "TrainState":
-        return dataclasses.replace(self, **kw)
 
 
 def create_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
