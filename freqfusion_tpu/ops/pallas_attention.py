@@ -1,0 +1,117 @@
+"""Fused window attention as a Pallas TPU kernel.
+
+The XLA path (ops/window_attention.py) materializes the per-window
+attention tensor [B*nW, nH, N, N] in HBM between the two matmuls — for a
+512x352-class DIV2K image through DRCT (nW=704, nH=6, N=256) that's >1 GB
+of HBM traffic per attention layer, 60 layers deep. This kernel keeps the
+whole QK^T -> +bias/mask -> softmax -> @V chain for one window resident in
+VMEM: one grid step per window, a static Python loop over heads (nH <= 6),
+fp32 accumulation on the MXU.
+
+The relative-position bias [nH, N, N] is shared by every window and rides
+in VMEM; the shifted-window mask [nW, N, N] varies per window and is
+streamed per grid step via its BlockSpec index map.
+
+Used by DRCT's 16x16 windows (N=256) and GRL's 8x8 windows; the anchored
+stripe attention (N1=64/N2=16) stays on the einsum path — its tensors are
+too small for a kernel to pay off.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_window_attention"]
+
+
+def _kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads: int,
+                   scale: float):
+    _attn_body(q_ref, k_ref, v_ref, bias_ref, None, o_ref, num_heads, scale)
+
+
+def _kernel_mask(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+                 num_heads: int, scale: float):
+    _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, num_heads,
+               scale)
+
+
+def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+               num_heads: int, scale: float):
+    n, c = q_ref.shape[1], q_ref.shape[2]
+    hd = c // num_heads
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[0, :, sl].astype(jnp.float32) * scale
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        attn = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [N, N]
+        attn = attn + bias_ref[h]
+        if mask_ref is not None:
+            attn = attn + mask_ref[0]
+        attn = attn - attn.max(axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / attn.sum(axis=-1, keepdims=True)
+        out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "interpret"))
+def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           bias: jnp.ndarray,
+                           mask: Optional[jnp.ndarray],
+                           num_heads: int,
+                           scale: Optional[float] = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """q, k, v: [B_, N, C]; bias: [nH, N, N]; mask: [nW, N, N] or None.
+
+    B_ = B * nW with the nW windows of one image contiguous, matching
+    ops/window_attention.window_partition.
+    """
+    b_, n, c = q.shape
+    hd = c // num_heads
+    scale = float(hd ** -0.5) if scale is None else float(scale)
+
+    qkv_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if mask is None:
+        kernel = functools.partial(_kernel_nomask, num_heads=num_heads,
+                                   scale=scale)
+        in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
+        args = (q, k, v, bias)
+    else:
+        nw = mask.shape[0]
+        mask_spec = pl.BlockSpec((1, n, n), lambda i: (i % nw, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        kernel = functools.partial(_kernel_mask, num_heads=num_heads,
+                                   scale=scale)
+        in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec]
+        args = (q, k, v, bias, mask)
+
+    flops_per = num_heads * (2 * n * n * hd * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(b_,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b_, n, c), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * b_,
+            bytes_accessed=3 * b_ * n * c * 4 + b_ * n * c * 4,
+            transcendentals=b_ * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(*args)

@@ -66,24 +66,33 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def shifted_window_mask(h: int, w: int, window: int, shift: int,
-                        fill: float = -100.0) -> Optional[np.ndarray]:
-    """[nW, N, N] additive attention mask for shifted windows
-    (drct_arch.py:386-409). None when shift == 0."""
-    if shift == 0:
+def shifted_window_mask_rect(h: int, w: int, wh: int, ww: int,
+                             sh: int, sw: int,
+                             fill: float = -100.0) -> Optional[np.ndarray]:
+    """[nW, N, N] additive mask for rectangular shifted windows
+    (the DAT generalization, dat_arch.py:432-494). None when no shift."""
+    if sh == 0 and sw == 0:
         return None
     img_mask = np.zeros((1, h, w, 1), np.float32)
-    h_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
-    w_slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    h_slices = (slice(0, -wh), slice(-wh, -sh), slice(-sh, None))
+    w_slices = (slice(0, -ww), slice(-ww, -sw), slice(-sw, None))
     cnt = 0
     for hs in h_slices:
         for ws in w_slices:
             img_mask[:, hs, ws, :] = cnt
             cnt += 1
-    mw = img_mask.reshape(1, h // window, window, w // window, window, 1)
-    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window)
+    mw = img_mask.reshape(1, h // wh, wh, w // ww, ww, 1)
+    mw = mw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww)
     attn_mask = mw[:, None, :] - mw[:, :, None]
     return np.where(attn_mask != 0, fill, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=256)
+def shifted_window_mask(h: int, w: int, window: int, shift: int,
+                        fill: float = -100.0) -> Optional[np.ndarray]:
+    """[nW, N, N] additive attention mask for shifted square windows
+    (drct_arch.py:386-409). None when shift == 0."""
+    return shifted_window_mask_rect(h, w, window, window, shift, shift, fill)
 
 
 def multi_head_window_attention(
@@ -98,11 +107,12 @@ def multi_head_window_attention(
     mask: [nW, N, N] additive, tiled over batch (B_ = B * nW).
     """
     b_, n, c = q.shape
+    m = k.shape[1]  # key/value token count may differ (e.g. HAT's OCAB)
     hd = c // num_heads
     scale = hd ** -0.5 if scale is None else scale
 
     def split(x):
-        return x.reshape(b_, n, num_heads, hd).transpose(0, 2, 1, 3)
+        return x.reshape(b_, x.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
 
     qh, kh, vh = split(q) * scale, split(k), split(v)
     attn = jnp.einsum("bhnd,bhmd->bhnm", qh, kh,
@@ -111,9 +121,9 @@ def multi_head_window_attention(
         attn = attn + bias[None]
     if mask is not None:
         nw = mask.shape[0]
-        attn = attn.reshape(b_ // nw, nw, num_heads, n, n)
+        attn = attn.reshape(b_ // nw, nw, num_heads, n, m)
         attn = attn + mask[None, :, None]
-        attn = attn.reshape(b_, num_heads, n, n)
+        attn = attn.reshape(b_, num_heads, n, m)
     attn = jnp.asarray(attn, jnp.float32)
     attn = jnp.exp(attn - attn.max(axis=-1, keepdims=True))
     attn = attn / attn.sum(axis=-1, keepdims=True)

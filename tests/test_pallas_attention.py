@@ -1,0 +1,41 @@
+"""Pallas fused window attention vs the einsum reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from freqfusion_tpu.ops.pallas_attention import fused_window_attention  # noqa: E402
+from freqfusion_tpu.ops.window_attention import (  # noqa: E402
+    multi_head_window_attention,
+)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_fused_window_attention_matches_einsum(with_mask):
+    rng = np.random.default_rng(0)
+    b, nw, n, heads, hd = 2, 4, 64, 6, 30
+    c = heads * hd
+    b_ = b * nw
+    q = rng.normal(size=(b_, n, c)).astype(np.float32)
+    k = rng.normal(size=(b_, n, c)).astype(np.float32)
+    v = rng.normal(size=(b_, n, c)).astype(np.float32)
+    bias = rng.normal(size=(heads, n, n)).astype(np.float32)
+    mask = None
+    if with_mask:
+        mask = np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0
+                        ).astype(np.float32)
+
+    ref = multi_head_window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads,
+        bias=jnp.asarray(bias),
+        mask=None if mask is None else jnp.asarray(mask))
+
+    out = fused_window_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        None if mask is None else jnp.asarray(mask),
+        num_heads=heads, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
