@@ -1,59 +1,104 @@
-"""Benchmark: x4 SR throughput (megapixels of HR output per second per chip).
+"""Benchmark: full FreqFusionSR x4 SR throughput (HR megapixels/sec/chip).
 
-Runs the flagship fusion forward (and, when available, the full expert
-pipeline) on synthetic DIV2K-like shapes on the real device, reports ONE
-JSON line:
+Runs the complete pipeline — all four frozen experts (DRCT-L, GRL-B,
+NAFNet-64, MambaIR) + the 7-phase fusion network — as one jitted XLA
+program on a DIV2K-val-class LR shape, and reports ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline (BASELINE.json): >= 5 megapixels/sec per v5e chip over full DIV2K
-validation x4 SR. Until all four experts are wired in, the benched path is
-the fusion network alone over cached-expert-style inputs (BASELINE.json
-config 4); the metric semantics (HR megapixels/sec/chip) are identical.
+vs_baseline is against BASELINE.json's >= 5 MP/s/chip target. Weights are
+random (the reference publishes no checkpoints in-repo); throughput is
+weight-independent. Set BENCH_MODE=fusion to bench the fusion-only cached
+path (BASELINE.json config 4) instead.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+BASELINE_MPS = 5.0  # megapixels/sec/chip (BASELINE.json)
 
-def main() -> None:
+
+def bench_fusion_only(h, w, scale):
     import jax
 
     from __graft_entry__ import _fusion_model, _mock_batch
 
-    # DIV2K val LR images are ~510x340; use a 512x352 bucket, batch 1.
-    H, W, SCALE = 352, 512, 4
     model = _fusion_model()
-    batch = _mock_batch(1, H, W)
+    batch = _mock_batch(1, h, w)
     params = model.init(jax.random.PRNGKey(0), batch["lr"],
                         batch["expert_imgs"], batch["expert_feats"])
-
-    fwd = jax.jit(lambda p, lr, imgs, feats: model.apply(p, lr, imgs, feats))
+    fwd = jax.jit(lambda p, lr, i, f: model.apply(p, lr, i, f))
     args = (params, jax.device_put(batch["lr"]),
             jax.device_put(batch["expert_imgs"]),
             jax.device_put(batch["expert_feats"]))
-
-    # Warmup / compile
-    fwd(*args)[0].block_until_ready()
-
+    fwd(*args).block_until_ready()
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(*args)
     out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters, "fusion_x4_throughput"
 
-    hr_megapixels = (H * SCALE) * (W * SCALE) / 1e6
-    mps = hr_megapixels / dt
-    baseline = 5.0  # MP/s/chip target from BASELINE.json
+
+def bench_full(h, w, scale):
+    import jax
+    import jax.numpy as jnp
+
+    from freqfusion_tpu.models.fusion.fusion_v2 import CompleteEnhancedFusionSR
+    from freqfusion_tpu.models.pipeline import FreqFusionPipeline, build_expert_models
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+
+    # Random-init all experts at a small shape (params are shape-independent)
+    init_lr = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    models = build_expert_models(scale)
+    params = {}
+    for i, (name, model) in enumerate(models.items()):
+        params[name] = jax.jit(model.init)(jax.random.PRNGKey(i), init_lr)
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(params[name]))
+        print(f"  {name}: {n / 1e6:.2f}M params", flush=True)
+
+    fusion = CompleteEnhancedFusionSR(upscale=scale)
+    mock_imgs = {k: jnp.zeros((1, 128, 128, 3)) for k in models}
+    mock_feats = {k: jnp.zeros((1, 32, 32, FreqFusionPipeline.FEATURE_CHANNELS[k]))
+                  for k in models}
+    params["fusion"] = fusion.init(jax.random.PRNGKey(9), init_lr,
+                                   mock_imgs, mock_feats)
+
+    pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion)
+    t0 = time.perf_counter()
+    pipeline(lr).block_until_ready()
+    print(f"  compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(lr)
+    out.block_until_ready()
+    return (time.perf_counter() - t0) / iters, "freqfusion_full_x4_throughput"
+
+
+def main() -> None:
+    mode = os.environ.get("BENCH_MODE", "full")
+    # DIV2K val LR images are ~510x340; bench a 512x336 16-multiple bucket.
+    h, w, scale = 336, 512, 4
+    if mode == "fusion":
+        dt, metric = bench_fusion_only(h, w, scale)
+    else:
+        dt, metric = bench_full(h, w, scale)
+
+    mps = (h * scale) * (w * scale) / 1e6 / dt
     print(json.dumps({
-        "metric": "fusion_x4_throughput",
+        "metric": metric,
         "value": round(mps, 3),
         "unit": "megapixels/sec/chip",
-        "vs_baseline": round(mps / baseline, 3),
+        "vs_baseline": round(mps / BASELINE_MPS, 3),
     }))
 
 

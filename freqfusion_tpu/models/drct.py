@@ -62,8 +62,14 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=True, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = multi_head_window_attention(q, k, v, self.num_heads,
-                                          bias=bias, mask=mask)
+        from ..ops.dispatch import use_pallas
+        if use_pallas():
+            from ..ops.pallas_attention import fused_window_attention
+            out = fused_window_attention(q, k, v, bias, mask,
+                                         num_heads=self.num_heads)
+        else:
+            out = multi_head_window_attention(q, k, v, self.num_heads,
+                                              bias=bias, mask=mask)
         return nn.Dense(self.dim, name="proj")(out)
 
 
