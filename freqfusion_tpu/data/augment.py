@@ -15,7 +15,23 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 __all__ = ["paired_random_crop", "paired_geometric_augment", "apply_geometry",
-           "invert_geometry"]
+           "invert_geometry", "crop_and_transform"]
+
+try:
+    from ._native import NATIVE_AVAILABLE, crop_geom
+except ImportError:  # pragma: no cover
+    NATIVE_AVAILABLE, crop_geom = False, None
+
+
+def crop_and_transform(x: np.ndarray, top: int, left: int, h: int, w: int,
+                       hflip: bool, vflip: bool, rot_k: int) -> np.ndarray:
+    """Fused crop + dihedral transform (C fast path, numpy fallback)."""
+    if (NATIVE_AVAILABLE and x.dtype == np.float32
+            and x.flags["C_CONTIGUOUS"]):
+        return crop_geom(x, top, left, h, w, bool(hflip), bool(vflip),
+                         int(rot_k) & 3)
+    out = x[top : top + h, left : left + w]
+    return apply_geometry(out, hflip, vflip, rot_k)
 
 
 def paired_random_crop(lr: np.ndarray, hr: np.ndarray, lr_patch: int,

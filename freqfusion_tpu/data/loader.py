@@ -12,7 +12,50 @@ from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 
-__all__ = ["Batcher"]
+__all__ = ["Batcher", "PrefetchLoader"]
+
+
+class PrefetchLoader:
+    """Background-thread prefetch around any batch iterable.
+
+    Overlaps host-side loading/augmentation with device compute — the
+    TPU-side replacement for torch DataLoader's worker processes
+    (num_workers, configs/train_config.yaml:104). Threads suffice here:
+    the heavy per-sample work (image decode via cv2, the C crop_geom
+    kernel) releases the GIL.
+    """
+
+    def __init__(self, batcher, prefetch: int = 2):
+        self.batcher = batcher
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int) -> None:
+        self.batcher.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.batcher)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self.batcher:
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
 
 
 class Batcher:

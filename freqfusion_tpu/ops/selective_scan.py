@@ -29,8 +29,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["selective_scan"]
+__all__ = ["selective_scan", "selective_scan_pallas"]
 
 
 def _scan_combine(c1, c2):
@@ -111,3 +113,94 @@ def selective_scan(u: jnp.ndarray,
     if dfloat is not None:
         y = y + u[:, :l] * dfloat
     return y
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA path above round-trips the [B, chunk, D, N] transition tensors
+# through HBM between the elementwise ops, the associative scan tree, and
+# the output einsum. This kernel keeps one chunk's whole recurrence resident
+# in VMEM and carries the running state h[D, N] in scratch across the
+# sequential grid steps.
+#
+# Layout note: (D, N) is flattened to one lane axis of size D*N. With
+# d_state N=16 a 3-D [T, D, N] layout would pad the minor dim 16 -> 128 on
+# TPU (8x memory and VPU waste); flattened, every elementwise op runs on
+# full lanes. B/C are tiled D times (index d*N + n), u/delta are repeated
+# N times, matching A.reshape(D*N).
+
+
+def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
+               y_ref, h_ref, *, d: int, n: int):
+    t = u_ref.shape[1]
+    chunk_idx = pl.program_id(1)
+
+    @pl.when(chunk_idx == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    u = u_ref[0].astype(jnp.float32)                    # [T, D]
+    delta = jax.nn.softplus(dt_ref[0].astype(jnp.float32) + bias_ref[:])
+
+    # Expand to the flattened (D*N) lane axis.
+    ones_n = jnp.ones((1, 1, n), jnp.float32)
+    dt_rep = (delta[:, :, None] * ones_n).reshape(t, d * n)
+    du_rep = ((delta * u)[:, :, None] * ones_n).reshape(t, d * n)
+    b_tile = jnp.tile(b_ref[0].astype(jnp.float32), (1, d))   # [T, D*N]
+    c_tile = jnp.tile(c_ref[0].astype(jnp.float32), (1, d))
+
+    a = jnp.exp(dt_rep * a_ref[:])                      # [T, D*N]
+    bu = du_rep * b_tile
+
+    a_cum, h_local = jax.lax.associative_scan(_scan_combine, (a, bu), axis=0)
+    h = a_cum * h_ref[:] + h_local                      # [T, D*N] * [1, D*N]
+
+    y = (h * c_tile).reshape(t, d, n).sum(axis=-1)      # [T, D]
+    y_ref[0] = y + u * dskip_ref[:]
+    h_ref[:] = h[-1:]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def selective_scan_pallas(u: jnp.ndarray,
+                          delta: jnp.ndarray,
+                          A: jnp.ndarray,
+                          B: jnp.ndarray,
+                          C: jnp.ndarray,
+                          D: jnp.ndarray,
+                          delta_bias: jnp.ndarray,
+                          chunk: int = 64,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Fused selective scan; same contract as ``selective_scan`` with
+    delta_softplus=True. u/delta [B, L, D]; B/C [B, L, N]; A [D, N]."""
+    b, l, d = u.shape
+    n = A.shape[-1]
+    num_chunks = -(-l // chunk)
+    lp = num_chunks * chunk
+    if lp != l:
+        pad = [(0, 0), (0, lp - l), (0, 0)]
+        u, delta, B, C = (jnp.pad(x, pad) for x in (u, delta, B, C))
+
+    a_flat = A.astype(jnp.float32).reshape(1, d * n)
+
+    def blk(feat):
+        return pl.BlockSpec((1, chunk, feat), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_ss_kernel, d=d, n=n),
+        grid=(b, num_chunks),
+        in_specs=[blk(d), blk(d), blk(n), blk(n),
+                  full((1, d * n)), full((1, d)), full((1, d))],
+        out_specs=blk(d),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, B, C, a_flat,
+      D.astype(jnp.float32).reshape(1, d),
+      delta_bias.astype(jnp.float32).reshape(1, d))
+    return y[:, :l]

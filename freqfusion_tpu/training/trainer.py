@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.cached import CachedFeatureDataset, EXPERTS, FEATURE_CHANNELS
-from ..data.loader import Batcher
+from ..data.loader import Batcher, PrefetchLoader
 from ..models.fusion.fusion_v2 import CompleteEnhancedFusionSR
 from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from ..utils.logger import MetricLogger
@@ -73,8 +73,10 @@ class FusionTrainer:
         self.val_data = (CachedFeatureDataset(val_cache_dir, augment=False)
                          if val_cache_dir else None)
 
-        self.batcher = Batcher(self.train_data, cfg.training.batch_size,
-                               shuffle=True, seed=cfg.seed)
+        self.batcher = PrefetchLoader(
+            Batcher(self.train_data, cfg.training.batch_size,
+                    shuffle=True, seed=cfg.seed),
+            prefetch=max(1, cfg.training.num_workers // 2))
         self.steps_per_epoch = len(self.batcher)
 
         if n_devices is None:
