@@ -23,8 +23,28 @@ import numpy as np
 
 __all__ = [
     "load_torch_state_dict", "conv_kernel", "dw_conv_kernel", "linear_kernel",
-    "unflatten", "assert_tree_shapes",
+    "unflatten", "assert_tree_shapes", "stack_layers",
 ]
+
+
+def stack_layers(params: Mapping[str, Any], prefix: str = "layers_",
+                 target: str = "layers", subname: str = "rdg"):
+    """Stack per-layer param subtrees onto a leading layer axis.
+
+    {'layers_0': T0, ..., 'layers_11': T11, ...rest} ->
+    {'layers': {subname: stack([T0..T11])}, ...rest} — the layout
+    nn.scan-over-layers models consume (e.g. DRCT(use_scan=True))."""
+    import jax
+
+    layer_keys = sorted((k for k in params if k.startswith(prefix)),
+                        key=lambda k: int(k[len(prefix):]))
+    if not layer_keys:
+        return dict(params)
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[params[k] for k in layer_keys])
+    out = {k: v for k, v in params.items() if k not in layer_keys}
+    out[target] = {subname: stacked}
+    return out
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

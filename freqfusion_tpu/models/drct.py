@@ -155,7 +155,13 @@ class RDG(nn.Module):
 
 
 class DRCT(nn.Module):
-    """DRCT super-resolution model; returns (sr, conv_after_body feature)."""
+    """DRCT super-resolution model; returns (sr, conv_after_body feature).
+
+    ``use_scan=True`` runs the 12 identical RDGs under ``nn.scan`` with
+    stacked parameters (leading layer axis) — ~12x smaller HLO and compile
+    time; outputs are identical. ``convert_drct(..., stack=True)`` produces
+    the stacked layout.
+    """
 
     upscale: int = 4
     embed_dim: int = 180
@@ -165,6 +171,7 @@ class DRCT(nn.Module):
     gc: int = 32
     img_range: float = 1.0
     num_feat: int = 64
+    use_scan: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -177,9 +184,30 @@ class DRCT(nn.Module):
         # patch_embed's post-flatten LayerNorm (patch_norm=True,
         # drct_arch.py:523-560).
         tokens = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(feat)
-        for i in range(self.num_layers):
-            tokens = RDG(self.embed_dim, self.num_heads, self.window_size,
-                         self.gc, name=f"layers_{i}")(tokens)
+        if self.use_scan:
+            class _Body(nn.Module):
+                dim: int
+                heads: int
+                ws: int
+                gc: int
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    out = RDG(self.dim, self.heads, self.ws, self.gc,
+                              name="rdg")(carry)
+                    return out, None
+
+            scanned = nn.scan(
+                _Body, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=self.num_layers)(
+                self.embed_dim, self.num_heads, self.window_size, self.gc,
+                name="layers")
+            tokens, _ = scanned(tokens, None)
+        else:
+            for i in range(self.num_layers):
+                tokens = RDG(self.embed_dim, self.num_heads,
+                             self.window_size, self.gc,
+                             name=f"layers_{i}")(tokens)
         tokens = nn.LayerNorm(epsilon=1e-5, name="norm")(tokens)
 
         body = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

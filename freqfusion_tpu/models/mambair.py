@@ -88,6 +88,11 @@ class SS2D(nn.Module):
         x_col = xc.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
         dirs = (x_row, x_col, x_row[:, ::-1], x_col[:, ::-1])
 
+        from ..ops.dispatch import use_pallas
+        pallas = use_pallas()
+        if pallas:
+            from ..ops.selective_scan import selective_scan_pallas
+
         ys = []
         for ki, xk in enumerate(dirs):
             x_dbl = jnp.einsum("bld,cd->blc", xk, x_proj_weight[ki],
@@ -97,9 +102,15 @@ class SS2D(nn.Module):
             cs = x_dbl[..., dt_rank + n :]
             dts = jnp.einsum("blr,dr->bld", dts, dt_projs_weight[ki],
                              preferred_element_type=jnp.float32)
-            y = selective_scan(xk, dts, A[ki], bs, cs, Dsk[ki],
-                               delta_bias=dt_projs_bias[ki],
-                               delta_softplus=True, chunk=self.scan_chunk)
+            if pallas:
+                y = selective_scan_pallas(xk, dts, A[ki], bs, cs, Dsk[ki],
+                                          dt_projs_bias[ki],
+                                          chunk=min(self.scan_chunk, 128))
+            else:
+                y = selective_scan(xk, dts, A[ki], bs, cs, Dsk[ki],
+                                   delta_bias=dt_projs_bias[ki],
+                                   delta_softplus=True,
+                                   chunk=self.scan_chunk)
             ys.append(y)
 
         # Undo the direction layouts and sum.

@@ -63,13 +63,23 @@ class FreqFusionPipeline:
 
     def __init__(self, params: Dict[str, Any], scale: int = 4,
                  fusion_model: Optional[CompleteEnhancedFusionSR] = None,
-                 scan_chunk: int = 512):
+                 scan_chunk: int = 512, jit_mode: str = "per_expert"):
+        """jit_mode: 'full' compiles experts+fusion as ONE XLA program
+        (maximum fusion); 'per_expert' compiles one program per expert plus
+        one for the fusion net — smaller compile units (and the only mode
+        the remote-compile tunnel accepts for full-size experts)."""
         self.params = params
         self.scale = scale
+        self.jit_mode = jit_mode
         self.models = build_expert_models(scale, scan_chunk)
         self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)
         self._jit_full = jax.jit(self._forward_full)
         self._jit_experts = jax.jit(self._run_experts_padded)
+        self._jit_one = {
+            name: jax.jit(lambda p, x, m=model: m.apply(p, x))
+            for name, model in self.models.items()}
+        self._jit_fusion = jax.jit(
+            lambda p, lr, imgs, feats: self.fusion.apply(p, lr, imgs, feats))
 
     # -- core ------------------------------------------------------------
     def _run_experts_padded(self, params, lr_padded: jnp.ndarray,
@@ -112,10 +122,40 @@ class FreqFusionPipeline:
 
         return self.fusion.apply(params["fusion"], lr, imgs, feats)
 
+    def _forward_per_expert(self, lr: jnp.ndarray) -> jnp.ndarray:
+        """Same semantics as _forward_full with one jit per expert
+        (io.py's sequential-expert structure, minus the empty_cache)."""
+        b, h, w, _ = lr.shape
+        s = self.scale
+        ph = (16 - h % 16) % 16
+        pw = (16 - w % 16) % 16
+        lr_padded = pad_reflect(lr, 0, ph, 0, pw) if (ph or pw) else lr
+        hp, wp = lr_padded.shape[1:3]
+
+        imgs, feats = {}, {}
+        for name in EXPERT_ORDER:
+            if name in self.params:
+                sr, f = self._jit_one[name](self.params[name], lr_padded)
+                if name == "mamba":
+                    sr = jnp.clip(sr, 0.0, 1.0)
+                imgs[name] = sr[:, : h * s, : w * s, :]
+                if f.shape[1] != hp or f.shape[2] != wp:
+                    f = resize_bilinear(f, h, w)
+                else:
+                    f = f[:, :h, :w, :]
+                feats[name] = f
+            else:
+                imgs[name] = resize_bilinear(lr, h * s, w * s)
+                feats[name] = jnp.zeros(
+                    (b, h, w, self.FEATURE_CHANNELS[name]), lr.dtype)
+        return self._jit_fusion(self.params["fusion"], lr, imgs, feats)
+
     # -- public ------------------------------------------------------------
     def __call__(self, lr: jnp.ndarray) -> jnp.ndarray:
         """LR [B, H, W, 3] in [0,1] -> SR [B, 4H, 4W, 3]."""
-        return self._jit_full(self.params, lr)
+        if self.jit_mode == "full":
+            return self._jit_full(self.params, lr)
+        return self._forward_per_expert(lr)
 
     def run_experts(self, lr_padded: jnp.ndarray):
         """Expert outputs/features for cache extraction (padded input)."""
