@@ -47,6 +47,28 @@ def stack_layers(params: Mapping[str, Any], prefix: str = "layers_",
     return out
 
 
+def stack_layer_runs(params: Mapping[str, Any], depths,
+                     prefix: str = "layers_", subname: str = "stage"):
+    """Stack layers into runs of consecutive equal depths
+    (GRL(use_scan=True): depths (4,4,8,8,8,4,4) -> layers_run{0,1,2})."""
+    import jax
+
+    runs = []
+    for d in depths:
+        if runs and runs[-1][0] == d:
+            runs[-1][1] += 1
+        else:
+            runs.append([d, 1])
+    out = {k: v for k, v in params.items() if not k.startswith(prefix)}
+    idx = 0
+    for ri, (_, count) in enumerate(runs):
+        members = [params[f"{prefix}{idx + j}"] for j in range(count)]
+        idx += count
+        out[f"layers_run{ri}"] = {subname: jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *members)}
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth into {name: np.ndarray}, unwrapping container keys and
     'module.' prefixes (expert_loader.py:81-96)."""

@@ -319,6 +319,9 @@ class GRL(nn.Module):
     mlp_ratio: float = 2.0
     img_range: float = 1.0
     num_feat: int = 64
+    # nn.scan over runs of equal-depth stages ((4,4),(8,8,8),(4,4) for
+    # GRL-B) with stacked params; use convert_grl + stack_layer_runs.
+    use_scan: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -335,11 +338,47 @@ class GRL(nn.Module):
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
                        name="conv_first")(x)
         t = nn.LayerNorm(epsilon=1e-5, name="norm_start")(feat)
-        for i, depth in enumerate(self.depths):
-            t = TransformerStage(
-                self.embed_dim, depth, self.num_heads_w, self.num_heads_s,
-                self.window_size, self.stripe_size, self.anchor_down_factor,
-                self.mlp_ratio, name=f"layers_{i}")(t)
+        if self.use_scan:
+            runs = []
+            for d in self.depths:
+                if runs and runs[-1][0] == d:
+                    runs[-1][1] += 1
+                else:
+                    runs.append([d, 1])
+
+            class _Body(nn.Module):
+                dim: int
+                depth: int
+                hw: int
+                hs: int
+                ws: int
+                ss: Tuple[int, int]
+                df: int
+                mlp: float
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    out = TransformerStage(
+                        self.dim, self.depth, self.hw, self.hs, self.ws,
+                        self.ss, self.df, self.mlp, name="stage")(carry)
+                    return out, None
+
+            for ri, (depth, count) in enumerate(runs):
+                scanned = nn.scan(
+                    _Body, variable_axes={"params": 0},
+                    split_rngs={"params": True}, length=count)(
+                    self.embed_dim, depth, self.num_heads_w,
+                    self.num_heads_s, self.window_size, self.stripe_size,
+                    self.anchor_down_factor, self.mlp_ratio,
+                    name=f"layers_run{ri}")
+                t, _ = scanned(t, None)
+        else:
+            for i, depth in enumerate(self.depths):
+                t = TransformerStage(
+                    self.embed_dim, depth, self.num_heads_w,
+                    self.num_heads_s, self.window_size, self.stripe_size,
+                    self.anchor_down_factor, self.mlp_ratio,
+                    name=f"layers_{i}")(t)
         t = nn.LayerNorm(epsilon=1e-5, name="norm_end")(t)
 
         body = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

@@ -202,6 +202,9 @@ class MambaIR(nn.Module):
     img_range: float = 1.0
     num_feat: int = 64
     scan_chunk: int = 512
+    # nn.scan over the (identical) RSSGs with stacked params; ~6x smaller
+    # HLO. Use convert_mambair + stack_layers for the stacked layout.
+    use_scan: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -211,10 +214,34 @@ class MambaIR(nn.Module):
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
                        name="conv_first")(x)
         t = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(feat)
-        for i, depth in enumerate(self.depths):
-            t = ResidualGroup(self.embed_dim, depth, self.d_state,
-                              self.mlp_ratio, self.scan_chunk,
-                              name=f"layers_{i}")(t)
+        if self.use_scan:
+            assert len(set(self.depths)) == 1, "scan needs equal depths"
+
+            class _Body(nn.Module):
+                dim: int
+                depth: int
+                d_state: int
+                expand: float
+                chunk: int
+
+                @nn.compact
+                def __call__(self, carry, _):
+                    out = ResidualGroup(self.dim, self.depth, self.d_state,
+                                        self.expand, self.chunk,
+                                        name="rdg")(carry)
+                    return out, None
+
+            scanned = nn.scan(
+                _Body, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=len(self.depths))(
+                self.embed_dim, self.depths[0], self.d_state,
+                self.mlp_ratio, self.scan_chunk, name="layers")
+            t, _ = scanned(t, None)
+        else:
+            for i, depth in enumerate(self.depths):
+                t = ResidualGroup(self.embed_dim, depth, self.d_state,
+                                  self.mlp_ratio, self.scan_chunk,
+                                  name=f"layers_{i}")(t)
         t = nn.LayerNorm(epsilon=1e-5, name="norm")(t)
 
         body = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
