@@ -125,11 +125,11 @@ def selective_scan(u: jnp.ndarray,
 # in VMEM and carries the running state h[D, N] in scratch across the
 # sequential grid steps.
 #
-# Layout note: (D, N) is flattened to one lane axis of size D*N. With
-# d_state N=16 a 3-D [T, D, N] layout would pad the minor dim 16 -> 128 on
-# TPU (8x memory and VPU waste); flattened, every elementwise op runs on
-# full lanes. B/C are tiled D times (index d*N + n), u/delta are repeated
-# N times, matching A.reshape(D*N).
+# Layout note: (N, D) is flattened to one lane axis of size N*D (n-major:
+# index n*D + d). With d_state N=16 a 3-D layout would pad the minor dim
+# 16 -> 128 on TPU (8x memory and VPU waste). The n-major flattening is
+# built purely from static concats / column broadcasts — no reshapes, which
+# Mosaic's vector layout inference rejects for [T, D, N] -> [T, D*N].
 
 
 def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
@@ -143,21 +143,41 @@ def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
 
     u = u_ref[0].astype(jnp.float32)                    # [T, D]
     delta = jax.nn.softplus(dt_ref[0].astype(jnp.float32) + bias_ref[:])
+    du = delta * u
 
-    # Expand to the flattened (D*N) lane axis.
-    ones_n = jnp.ones((1, 1, n), jnp.float32)
-    dt_rep = (delta[:, :, None] * ones_n).reshape(t, d * n)
-    du_rep = ((delta * u)[:, :, None] * ones_n).reshape(t, d * n)
-    b_tile = jnp.tile(b_ref[0].astype(jnp.float32), (1, d))   # [T, D*N]
-    c_tile = jnp.tile(c_ref[0].astype(jnp.float32), (1, d))
+    # n-major expansion: [T, N*D]
+    dt_rep = jnp.concatenate([delta] * n, axis=1)
+    du_rep = jnp.concatenate([du] * n, axis=1)
+    bb = b_ref[0].astype(jnp.float32)                   # [T, N]
+    cc = c_ref[0].astype(jnp.float32)
+    b_rep = jnp.concatenate(
+        [jnp.broadcast_to(bb[:, i : i + 1], (t, d)) for i in range(n)], axis=1)
+    c_rep = jnp.concatenate(
+        [jnp.broadcast_to(cc[:, i : i + 1], (t, d)) for i in range(n)], axis=1)
 
-    a = jnp.exp(dt_rep * a_ref[:])                      # [T, D*N]
-    bu = du_rep * b_tile
+    a = jnp.exp(dt_rep * a_ref[:])                      # [T, N*D]
+    bu = du_rep * b_rep
 
-    a_cum, h_local = jax.lax.associative_scan(_scan_combine, (a, bu), axis=0)
-    h = a_cum * h_ref[:] + h_local                      # [T, D*N] * [1, D*N]
+    # Hillis-Steele inclusive scan of the (a, b) recurrence, log2(T) levels
+    # of full-lane elementwise ops. (lax.associative_scan lowers to strided
+    # sublane slices Mosaic rejects; shifted-roll + mask is the TPU idiom.)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    s = 1
+    while s < t:
+        a_prev = pltpu.roll(a, s, axis=0)
+        b_prev = pltpu.roll(bu, s, axis=0)
+        valid = row >= s
+        a_prev = jnp.where(valid, a_prev, 1.0)
+        b_prev = jnp.where(valid, b_prev, 0.0)
+        bu = a * b_prev + bu
+        a = a * a_prev
+        s *= 2
+    h = a * h_ref[:] + bu                               # [T, N*D] * [1, N*D]
 
-    y = (h * c_tile).reshape(t, d, n).sum(axis=-1)      # [T, D]
+    z = h * c_rep
+    y = z[:, :d]
+    for i in range(1, n):
+        y = y + z[:, i * d : (i + 1) * d]               # [T, D]
     y_ref[0] = y + u * dskip_ref[:]
     h_ref[:] = h[-1:]
 
@@ -182,7 +202,8 @@ def selective_scan_pallas(u: jnp.ndarray,
         pad = [(0, 0), (0, lp - l), (0, 0)]
         u, delta, B, C = (jnp.pad(x, pad) for x in (u, delta, B, C))
 
-    a_flat = A.astype(jnp.float32).reshape(1, d * n)
+    # n-major flatten: A[d, n] -> [1, n*D] with index n*D + d
+    a_flat = A.astype(jnp.float32).T.reshape(1, d * n)
 
     def blk(feat):
         return pl.BlockSpec((1, chunk, feat), lambda i, j: (i, j, 0),

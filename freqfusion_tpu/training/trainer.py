@@ -43,12 +43,22 @@ def _batch_to_model_inputs(batch: Dict[str, np.ndarray]):
 
 
 class FusionTrainer:
-    """Cached-mode fusion training (the reference's --cached fast path)."""
+    """Cached-mode fusion training (the reference's --cached fast path).
 
-    def __init__(self, cfg: Config, cache_dir: str,
+    Live mode (experts inside the step, reference train_epoch
+    train.py:130-248): pass ``expert_params`` and a paired-image dataset
+    via ``live_data=(lr_dir, hr_dir)`` instead of a cache. Experts run
+    frozen under stop_gradient in the same jitted step; on TPU there is no
+    OOM choreography — XLA schedules all four plus the fusion backward.
+    """
+
+    def __init__(self, cfg: Config, cache_dir: Optional[str] = None,
                  val_cache_dir: Optional[str] = None,
                  checkpoint_dir: Optional[str] = None,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 live_data: Optional[tuple] = None,
+                 expert_params: Optional[Dict[str, Any]] = None,
+                 expert_models: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
         self.model = CompleteEnhancedFusionSR(
             num_experts=cfg.fusion.num_experts,
@@ -65,11 +75,25 @@ class FusionTrainer:
             enable_edge_enhance=cfg.fusion.edge_enhancement,
         )
 
-        self.train_data = CachedFeatureDataset(
-            cache_dir, augment=cfg.dataset.augmentation.enabled,
-            flip_prob=cfg.dataset.augmentation.flip_prob,
-            rot_prob=cfg.dataset.augmentation.rotation_prob,
-            repeat_factor=cfg.dataset.repeat_factor, seed=cfg.seed)
+        self.expert_params = expert_params
+        self.expert_models = None
+        if live_data is not None:
+            from ..data.dataset import SRPairDataset
+            from ..models.pipeline import build_expert_models
+            lr_dir, hr_dir = live_data
+            self.train_data = SRPairDataset(
+                lr_dir, hr_dir, scale=cfg.dataset.scale,
+                lr_patch_size=cfg.dataset.lr_patch_size,
+                augment=cfg.dataset.augmentation.enabled,
+                repeat_factor=cfg.dataset.repeat_factor, seed=cfg.seed)
+            self.expert_models = (expert_models
+                                  or build_expert_models(cfg.dataset.scale))
+        else:
+            self.train_data = CachedFeatureDataset(
+                cache_dir, augment=cfg.dataset.augmentation.enabled,
+                flip_prob=cfg.dataset.augmentation.flip_prob,
+                rot_prob=cfg.dataset.augmentation.rotation_prob,
+                repeat_factor=cfg.dataset.repeat_factor, seed=cfg.seed)
         self.val_data = (CachedFeatureDataset(val_cache_dir, augment=False)
                          if val_cache_dir else None)
 
@@ -103,11 +127,19 @@ class FusionTrainer:
     # -- setup -----------------------------------------------------------
     def _init_state(self) -> TrainState:
         sample = _batch_to_model_inputs(self.train_data[0])
+        lr = sample["lr"][None]
+        if sample["expert_imgs"]:
+            imgs = {k: v[None] for k, v in sample["expert_imgs"].items()}
+            feats = {k: v[None] for k, v in sample["expert_feats"].items()}
+        else:  # live mode: init against zero expert stand-ins
+            s = self.cfg.dataset.scale
+            h, w = lr.shape[1], lr.shape[2]
+            imgs = {e: np.zeros((1, h * s, w * s, 3), np.float32)
+                    for e in EXPERTS}
+            feats = {e: np.zeros((1, h, w, FEATURE_CHANNELS[e]), np.float32)
+                     for e in EXPERTS}
         variables = self.model.init(
-            jax.random.PRNGKey(self.cfg.seed),
-            sample["lr"][None],
-            {k: v[None] for k, v in sample["expert_imgs"].items()},
-            {k: v[None] for k, v in sample["expert_feats"].items()})
+            jax.random.PRNGKey(self.cfg.seed), lr, imgs, feats)
         params, model_state = split_variables(variables)
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree_util.tree_leaves(params))
@@ -121,10 +153,36 @@ class FusionTrainer:
             rng=jax.random.PRNGKey(self.cfg.seed),
         )
 
+    def _expert_forward(self, lr):
+        """Frozen expert inference inside the step (live mode). LR patches
+        are window-multiple (64), so no padding is needed; NAFNet's HR
+        feature is resized to LR like io.py:255-258."""
+        from ..models.pipeline import EXPERT_ORDER
+        from ..ops.resize import resize_bilinear
+
+        h, w = lr.shape[1], lr.shape[2]
+        imgs, feats = {}, {}
+        for name in EXPERT_ORDER:
+            if name not in self.expert_params:
+                continue
+            sr, feat = self.expert_models[name].apply(
+                self.expert_params[name], lr)
+            if name == "mamba":
+                sr = jnp.clip(sr, 0.0, 1.0)
+            if feat.shape[1] != h:
+                feat = resize_bilinear(feat, h, w)
+            imgs[name] = jax.lax.stop_gradient(sr)
+            feats[name] = jax.lax.stop_gradient(feat)
+        return imgs, feats
+
     def _apply_train(self, params, model_state, batch, rng):
+        if self.expert_models is not None:
+            imgs, feats = self._expert_forward(batch["lr"])
+        else:
+            imgs, feats = batch["expert_imgs"], batch["expert_feats"]
         sr, updated = self.model.apply(
             {"params": params, **model_state},
-            batch["lr"], batch["expert_imgs"], batch["expert_feats"],
+            batch["lr"], imgs, feats,
             train=True, rngs={"dropout": rng},
             mutable=list(model_state.keys()))
         return sr, updated
