@@ -1,4 +1,5 @@
 from .frequency import (
+    AdaptiveFrequencyDecomposition,
     DCTDecomposition, DWTDecomposition, FFTDecomposition,
     AdaptiveBandFusion, MultiDomainFrequencyDecomposition,
 )

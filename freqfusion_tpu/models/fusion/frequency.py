@@ -244,3 +244,82 @@ class MultiDomainFrequencyDecomposition(nn.Module):
         else:
             fused = raw[:3]
         return (fused, raw) if return_raw_bands else (fused, None)
+
+
+@functools.lru_cache(maxsize=8)
+def _zigzag_order_norm_np(n: int) -> np.ndarray:
+    """Normalized zigzag order matrix in [0, 1] (enhanced_fusion_v2.py:78-92)."""
+    order = np.zeros((n, n), dtype=np.float64)
+    i = j = 0
+    for idx in range(n * n):
+        order[i, j] = idx
+        if (i + j) % 2 == 0:
+            if j == n - 1:
+                i += 1
+            elif i == 0:
+                j += 1
+            else:
+                i -= 1
+                j += 1
+        else:
+            if i == n - 1:
+                j += 1
+            elif j == 0:
+                i += 1
+            else:
+                i += 1
+                j -= 1
+    return (order / (n * n - 1)).astype(np.float32)
+
+
+class AdaptiveFrequencyDecomposition(nn.Module):
+    """Alternative Phase-2: DCT decomposition with LEARNABLE per-image band
+    thresholds (enhanced_fusion_v2.py:39-146). Defined-but-unwired in the
+    canonical v2 pipeline, kept for inventory parity: an MLP predicts two
+    thresholds from a pooled view of the image; temperature-50 soft sigmoid
+    zigzag masks split the spectrum into low/mid/high."""
+
+    block_size: int = 8
+    low_range: Tuple[float, float] = (0.15, 0.40)
+    high_range: Tuple[float, float] = (0.60, 0.85)
+    temperature: float = 50.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        n = self.block_size
+        b, h, w, c = x.shape
+
+        pooled = resize_bilinear(x, 8, 8).reshape(b, -1)  # AdaptiveAvgPool2d(8)~
+        t_ = nn.Dense(32, name="threshold_fc1")(pooled)
+        t_ = nn.Dense(2, name="threshold_fc2")(nn.relu(t_))
+        t_ = nn.sigmoid(t_)
+        low_t = t_[:, 0:1] * (self.low_range[1] - self.low_range[0]) + self.low_range[0]
+        high_t = t_[:, 1:2] * (self.high_range[1] - self.high_range[0]) + self.high_range[0]
+
+        ph = (n - h % n) % n
+        pw = (n - w % n) % n
+        xp = pad_reflect(x, 0, ph, 0, pw) if (ph or pw) else x
+        hp, wp = h + ph, w + pw
+        nh, nw = hp // n, wp // n
+
+        basis = jnp.asarray(_dct_basis_np(n))
+        zig = jnp.asarray(_zigzag_order_norm_np(n))[None, None, None, None]
+
+        blocks = xp.reshape(b, nh, n, nw, n, c).transpose(0, 1, 3, 5, 2, 4)
+        coeffs = jnp.einsum("ki,...ij,lj->...kl", basis, blocks, basis,
+                            preferred_element_type=jnp.float32)
+
+        lt = low_t.reshape(b, 1, 1, 1, 1, 1)
+        ht = high_t.reshape(b, 1, 1, 1, 1, 1)
+        low_mask = nn.sigmoid(self.temperature * (lt - zig))
+        high_mask = nn.sigmoid(self.temperature * (zig - ht))
+        mid_mask = jnp.clip(1.0 - low_mask - high_mask, 0.0)
+
+        def to_img(masked):
+            spatial = jnp.einsum("ki,...kl,lj->...ij", basis, masked, basis,
+                                 preferred_element_type=jnp.float32)
+            img = spatial.transpose(0, 1, 4, 2, 5, 3).reshape(b, hp, wp, c)
+            return img[:, :h, :w, :]
+
+        return (to_img(coeffs * low_mask), to_img(coeffs * mid_mask),
+                to_img(coeffs * high_mask), (low_t, high_t))
