@@ -35,12 +35,13 @@ def bench_fusion_only(h, w, scale):
     args = (params, jax.device_put(batch["lr"]),
             jax.device_put(batch["expert_imgs"]),
             jax.device_put(batch["expert_feats"]))
-    fwd(*args).block_until_ready()
+    import jax.numpy as jnp
+    float(jnp.sum(fwd(*args)))  # warm; sum forces real execution over the
+    # relay (block_until_ready alone doesn't synchronize remote buffers)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(*args)
-    out.block_until_ready()
+        chk = float(jnp.sum(fwd(*args)))
     return (time.perf_counter() - t0) / iters, "fusion_x4_throughput"
 
 
@@ -73,14 +74,13 @@ def bench_full(h, w, scale):
 
     pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion)
     t0 = time.perf_counter()
-    pipeline(lr).block_until_ready()
+    float(jnp.sum(pipeline(lr)))  # sum forces real execution over the relay
     print(f"  compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(lr)
-    out.block_until_ready()
+        chk = float(jnp.sum(pipeline(lr)))
     return (time.perf_counter() - t0) / iters, "freqfusion_full_x4_throughput"
 
 
