@@ -63,14 +63,27 @@ class FreqFusionPipeline:
 
     def __init__(self, params: Dict[str, Any], scale: int = 4,
                  fusion_model: Optional[CompleteEnhancedFusionSR] = None,
-                 scan_chunk: int = 512, jit_mode: str = "per_expert"):
+                 scan_chunk: int = 512, jit_mode: str = "per_expert",
+                 expert_dtype=None):
         """jit_mode: 'full' compiles experts+fusion as ONE XLA program
         (maximum fusion); 'per_expert' compiles one program per expert plus
         one for the fusion net — smaller compile units (and the only mode
-        the remote-compile tunnel accepts for full-size experts)."""
+        the remote-compile tunnel accepts for full-size experts).
+
+        expert_dtype: jnp.bfloat16 runs the frozen experts in bf16 (2x MXU
+        rate, half the HBM traffic) — the TPU analogue of the reference's
+        fp16 autocast for MambaIR (io.py:263). The fusion net and the
+        selective-scan state stay fp32. None keeps everything fp32."""
         self.params = params
         self.scale = scale
         self.jit_mode = jit_mode
+        self.expert_dtype = expert_dtype
+        if expert_dtype is not None:
+            for name in list(params):
+                if name != "fusion":
+                    params[name] = jax.tree_util.tree_map(
+                        lambda x: x.astype(expert_dtype)
+                        if hasattr(x, "astype") else x, params[name])
         self.models = build_expert_models(scale, scan_chunk)
         self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)
         self._jit_full = jax.jit(self._forward_full)
@@ -86,14 +99,16 @@ class FreqFusionPipeline:
                             ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Experts on a pre-padded (multiple-of-16) LR batch; full-size out."""
         imgs, feats = {}, {}
+        x = (lr_padded if self.expert_dtype is None
+             else lr_padded.astype(self.expert_dtype))
         for name in EXPERT_ORDER:
             if name not in params:
                 continue
-            sr, feat = self.models[name].apply(params[name], lr_padded)
+            sr, feat = self.models[name].apply(params[name], x)
             if name == "mamba":
                 sr = jnp.clip(sr, 0.0, 1.0)  # io.py:263
-            imgs[name] = sr
-            feats[name] = feat
+            imgs[name] = sr.astype(jnp.float32)
+            feats[name] = feat.astype(jnp.float32)
         return imgs, feats
 
     def _forward_full(self, params, lr: jnp.ndarray) -> jnp.ndarray:
@@ -133,9 +148,13 @@ class FreqFusionPipeline:
         hp, wp = lr_padded.shape[1:3]
 
         imgs, feats = {}, {}
+        x = (lr_padded if self.expert_dtype is None
+             else lr_padded.astype(self.expert_dtype))
         for name in EXPERT_ORDER:
             if name in self.params:
-                sr, f = self._jit_one[name](self.params[name], lr_padded)
+                sr, f = self._jit_one[name](self.params[name], x)
+                sr = sr.astype(jnp.float32)
+                f = f.astype(jnp.float32)
                 if name == "mamba":
                     sr = jnp.clip(sr, 0.0, 1.0)
                 imgs[name] = sr[:, : h * s, : w * s, :]

@@ -45,21 +45,23 @@ def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
                num_heads: int, scale: float):
     n, c = q_ref.shape[1], q_ref.shape[2]
     hd = c // num_heads
+    in_dtype = q_ref.dtype  # bf16 inputs run the MXU at 2x; accum is fp32
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[0, :, sl].astype(jnp.float32) * scale
-        k = k_ref[0, :, sl].astype(jnp.float32)
-        v = v_ref[0, :, sl].astype(jnp.float32)
+        q = q_ref[0, :, sl] * jnp.asarray(scale, in_dtype)
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
         attn = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [N, N]
-        attn = attn + bias_ref[h]
+            preferred_element_type=jnp.float32)          # [N, N] fp32
+        attn = attn + bias_ref[h].astype(jnp.float32)
         if mask_ref is not None:
-            attn = attn + mask_ref[0]
+            attn = attn + mask_ref[0].astype(jnp.float32)
         attn = attn - attn.max(axis=-1, keepdims=True)
         attn = jnp.exp(attn)
         attn = attn / attn.sum(axis=-1, keepdims=True)
-        out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+        out = jnp.dot(attn.astype(in_dtype), v,
+                      preferred_element_type=jnp.float32)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 

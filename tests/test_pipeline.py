@@ -38,6 +38,7 @@ def _tiny_pipeline():
     params["fusion"] = pipe.fusion.init(jax.random.PRNGKey(9), lr0,
                                         mock_imgs, mock_feats)
     pipe.params = params
+    pipe.jit_mode = "full"
     pipe._jit_full = jax.jit(pipe._forward_full)
     pipe._jit_experts = jax.jit(pipe._run_experts_padded)
     return pipe
