@@ -116,6 +116,8 @@ class FusionTrainer:
             keep_last_n=cfg.checkpoint.keep_last_n,
             metric=cfg.checkpoint.metric, mode=cfg.checkpoint.mode)
         self.logger = MetricLogger(self.ckpt.dir / "train_log.jsonl")
+        from ..utils.logger import TensorBoardLogger
+        self.tb = TensorBoardLogger(str(self.ckpt.dir / "tb"))
 
         self.tx = create_optimizer(cfg, self.steps_per_epoch)
         self.state: Optional[TrainState] = None
@@ -294,6 +296,8 @@ class FusionTrainer:
                     self.best_psnr = last_val["psnr"]
 
             self.logger.log(log)
+            self.tb.scalars({k: v for k, v in log.items() if k != "epoch"},
+                            epoch)
             print(f"epoch {epoch}: loss={train_metrics.get('loss', 0):.4f} "
                   + (f"psnr={last_val.get('psnr', 0):.2f} " if last_val else "")
                   + f"({train_metrics['imgs_per_sec']:.1f} img/s)")

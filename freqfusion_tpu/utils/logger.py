@@ -15,7 +15,46 @@ import time
 from pathlib import Path
 from typing import Dict, Optional
 
-__all__ = ["MetricLogger", "Stopwatch"]
+__all__ = ["MetricLogger", "Stopwatch", "TensorBoardLogger"]
+
+
+class TensorBoardLogger:
+    """Optional TensorBoard channel (scalars, grouped scalars, image grids)
+    mirroring the reference's src/utils/logger.py:31+. No-ops gracefully
+    when tensorboard isn't importable — the JSONL MetricLogger remains the
+    canonical record either way."""
+
+    def __init__(self, logdir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._w = SummaryWriter(logdir)
+        except ImportError:  # pragma: no cover
+            self._w = None
+
+    @property
+    def available(self) -> bool:
+        return self._w is not None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._w:
+            self._w.add_scalar(tag, float(value), step)
+
+    def scalars(self, metrics: Dict[str, float], step: int,
+                prefix: str = "") -> None:
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                self.scalar(f"{prefix}{k}", v, step)
+
+    def images(self, tag: str, images, step: int) -> None:
+        """images: [N, H, W, C] float in [0,1] (NHWC, converted for TB)."""
+        if self._w:
+            import numpy as _np
+            arr = _np.clip(_np.asarray(images), 0.0, 1.0)
+            self._w.add_images(tag, arr, step, dataformats="NHWC")
+
+    def flush(self) -> None:
+        if self._w:
+            self._w.flush()
 
 
 class MetricLogger:
