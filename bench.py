@@ -55,12 +55,18 @@ def bench_full(h, w, scale):
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
 
-    # Random-init all experts at a small shape (params are shape-independent)
+    # Materialize params from eval_shape (no device compute; values don't
+    # affect throughput — matmuls don't shortcut on content).
+    def fake_init(init_fn, *args):
+        shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+
     init_lr = jnp.zeros((1, 32, 32, 3), jnp.float32)
     models = build_expert_models(scale)
     params = {}
-    for i, (name, model) in enumerate(models.items()):
-        params[name] = jax.jit(model.init)(jax.random.PRNGKey(i), init_lr)
+    for name, model in models.items():
+        params[name] = fake_init(model.init, init_lr)
         n = sum(int(np.prod(p.shape))
                 for p in jax.tree_util.tree_leaves(params[name]))
         print(f"  {name}: {n / 1e6:.2f}M params", flush=True)
@@ -69,8 +75,7 @@ def bench_full(h, w, scale):
     mock_imgs = {k: jnp.zeros((1, 128, 128, 3)) for k in models}
     mock_feats = {k: jnp.zeros((1, 32, 32, FreqFusionPipeline.FEATURE_CHANNELS[k]))
                   for k in models}
-    params["fusion"] = fusion.init(jax.random.PRNGKey(9), init_lr,
-                                   mock_imgs, mock_feats)
+    params["fusion"] = fake_init(fusion.init, init_lr, mock_imgs, mock_feats)
 
     pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion)
     t0 = time.perf_counter()

@@ -133,21 +133,25 @@ def _swt_filters_np() -> np.ndarray:
 
 
 def _swt_level(x: jnp.ndarray, level: int) -> Tuple[jnp.ndarray, ...]:
-    """One undecimated wavelet level via dilated depthwise conv, NHWC."""
+    """One undecimated wavelet level via dilated depthwise conv, NHWC.
+
+    Reflect padding and top-left crop match the reference's GPU
+    approximation exactly (perceptual_loss.py:698-733)."""
     filters = _swt_filters_np()
     k = filters.shape[-1]
     dilation = 2 ** level
     pad = (k - 1) * dilation
     h, w = x.shape[1], x.shape[2]
     c = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode="reflect")
     # One grouped conv producing 4 subbands per channel: kernel [k, k, 1, 4c]
     kern = jnp.asarray(np.transpose(filters, (1, 2, 0)))  # [k, k, 4]
     kern = jnp.tile(kern[:, :, None, :], (1, 1, 1, c)).reshape(k, k, 1, 4 * c)
     out = lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+        xp, kern, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    out = out[:, :h, :w, :].reshape(*out.shape[:3][:1], h, w, c, 4)
+    out = out[:, :h, :w, :].reshape(out.shape[0], h, w, c, 4)
     return tuple(out[..., i] for i in range(4))
 
 
