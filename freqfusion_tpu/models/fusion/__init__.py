@@ -10,3 +10,7 @@ from .lka import (
 from .hierarchical import HierarchicalMultiResolutionFusion
 from .edge import LaplacianPyramidRefinement
 from .fusion_v2 import CompleteEnhancedFusionSR, DynamicExpertSelector
+from .legacy_v1 import (
+    ChannelSpatialAttention, FrequencyRouter, MultiScaleFeatureExtractor,
+    FrequencyAwareFusion, MultiResolutionFusion,
+)
