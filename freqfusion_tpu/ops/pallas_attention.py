@@ -4,15 +4,19 @@ The XLA path (ops/window_attention.py) materializes the per-window
 attention tensor [B*nW, nH, N, N] in HBM between the two matmuls — for a
 512x352-class DIV2K image through DRCT (nW=704, nH=6, N=256) that's >1 GB
 of HBM traffic per attention layer, 60 layers deep. This kernel keeps the
-whole QK^T -> +bias/mask -> softmax -> @V chain for one window resident in
-VMEM: one grid step per window, a static Python loop over heads (nH <= 6),
-fp32 accumulation on the MXU.
+whole QK^T -> +bias/mask -> softmax -> @V chain resident in VMEM with fp32
+accumulation on the MXU.
+
+Grid granularity: one step per *group* of windows (windows_per_block),
+not per window — per-step dispatch overhead dominates at one 256-token
+window per step (measured ~9us/step on v5e), so windows are batched into
+each step and iterated with a static Python loop inside the kernel.
 
 The relative-position bias [nH, N, N] is shared by every window and rides
-in VMEM; the shifted-window mask [nW, N, N] varies per window and is
-streamed per grid step via its BlockSpec index map.
+in VMEM; the shifted-window mask [nW, N, N] varies per window and streams
+per grid step via its BlockSpec index map.
 
-Used by DRCT's 16x16 windows (N=256) and GRL's 8x8 windows; the anchored
+Used by DRCT's 16x16 windows (N=256) and HAT's windows; GRL's anchored
 stripe attention (N1=64/N2=16) stays on the einsum path — its tensors are
 too small for a kernel to pay off.
 """
@@ -30,39 +34,57 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_window_attention"]
 
 
+def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+               num_heads: int, scale: float, wpb: int):
+    c = q_ref.shape[2]
+    hd = c // num_heads
+    in_dtype = q_ref.dtype  # bf16 inputs run the MXU at 2x; accum is fp32
+    for w in range(wpb):
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = q_ref[w, :, sl] * jnp.asarray(scale, in_dtype)
+            k = k_ref[w, :, sl]
+            v = v_ref[w, :, sl]
+            attn = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [N, N] fp32
+            attn = attn + bias_ref[h].astype(jnp.float32)
+            if mask_ref is not None:
+                attn = attn + mask_ref[w].astype(jnp.float32)
+            attn = attn - attn.max(axis=-1, keepdims=True)
+            attn = jnp.exp(attn)
+            attn = attn / attn.sum(axis=-1, keepdims=True)
+            out = jnp.dot(attn.astype(in_dtype), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[w, :, sl] = out.astype(o_ref.dtype)
+
+
 def _kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads: int,
-                   scale: float):
-    _attn_body(q_ref, k_ref, v_ref, bias_ref, None, o_ref, num_heads, scale)
+                   scale: float, wpb: int):
+    _attn_body(q_ref, k_ref, v_ref, bias_ref, None, o_ref, num_heads, scale,
+               wpb)
 
 
 def _kernel_mask(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
-                 num_heads: int, scale: float):
+                 num_heads: int, scale: float, wpb: int):
     _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, num_heads,
-               scale)
+               scale, wpb)
 
 
-def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
-               num_heads: int, scale: float):
-    n, c = q_ref.shape[1], q_ref.shape[2]
-    hd = c // num_heads
-    in_dtype = q_ref.dtype  # bf16 inputs run the MXU at 2x; accum is fp32
-    for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        q = q_ref[0, :, sl] * jnp.asarray(scale, in_dtype)
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        attn = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [N, N] fp32
-        attn = attn + bias_ref[h].astype(jnp.float32)
-        if mask_ref is not None:
-            attn = attn + mask_ref[0].astype(jnp.float32)
-        attn = attn - attn.max(axis=-1, keepdims=True)
-        attn = jnp.exp(attn)
-        attn = attn / attn.sum(axis=-1, keepdims=True)
-        out = jnp.dot(attn.astype(in_dtype), v,
-                      preferred_element_type=jnp.float32)
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+def _pick_wpb(b_: int, nw: Optional[int], n: int, c: int) -> int:
+    """Largest group size that divides the batch (and the mask period),
+    bounded by a VMEM budget for the q/k/v/o blocks (x2: the pipeline
+    double-buffers blocks; ~16 MB VMEM total on v5e)."""
+    budget = 4 * 1024 * 1024  # bytes for the 4 data blocks, pre-double-buffer
+    per_window = 4 * n * c * 4
+    cap = max(1, budget // per_window)
+    for wpb in (16, 8, 4, 2, 1):
+        if wpb > cap or b_ % wpb:
+            continue
+        if nw is not None and nw % wpb:
+            continue
+        return wpb
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale",
@@ -81,32 +103,34 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b_, n, c = q.shape
     hd = c // num_heads
     scale = float(hd ** -0.5) if scale is None else float(scale)
+    nw = None if mask is None else mask.shape[0]
+    wpb = _pick_wpb(b_, nw, n, c)
 
-    qkv_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    qkv_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((num_heads, n, n), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
     if mask is None:
         kernel = functools.partial(_kernel_nomask, num_heads=num_heads,
-                                   scale=scale)
+                                   scale=scale, wpb=wpb)
         in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
         args = (q, k, v, bias)
     else:
-        nw = mask.shape[0]
-        mask_spec = pl.BlockSpec((1, n, n), lambda i: (i % nw, 0, 0),
+        mask_period = nw // wpb
+        mask_spec = pl.BlockSpec((wpb, n, n), lambda i: (i % mask_period, 0, 0),
                                  memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_mask, num_heads=num_heads,
-                                   scale=scale)
+                                   scale=scale, wpb=wpb)
         in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec]
         args = (q, k, v, bias, mask)
 
     flops_per = num_heads * (2 * n * n * hd * 2)
     return pl.pallas_call(
         kernel,
-        grid=(b_,),
+        grid=(b_ // wpb,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b_, n, c), q.dtype),
