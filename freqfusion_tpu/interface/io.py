@@ -60,6 +60,15 @@ def _convert_torch(name: str, path: str) -> Optional[Dict[str, Any]]:
     if name == "fusion":
         from ..convert.fusion import convert_fusion
         return convert_fusion(sd)
+    if name == "dat":
+        from ..convert.dat import convert_dat
+        return convert_dat(sd)
+    if name == "hat":
+        from ..convert.hat import convert_hat
+        return convert_hat(sd)
+    if name == "edsr":
+        from ..convert.edsr import convert_edsr
+        return convert_edsr(sd)
     return None
 
 
