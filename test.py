@@ -21,6 +21,12 @@ import time
 
 def select_model(args):
     model_id = args.model_id
+    if model_id == 0:
+        # DAT baseline, ICCV 2023 (reference test.py:30-35)
+        from freqfusion_tpu.interface.dat_baseline import main as DAT
+        name = f"{model_id:02}_DAT_baseline"
+        model_path = os.path.join("model_zoo", "team00_dat.pth")
+        return DAT, model_path, name
     if model_id == 29:
         from freqfusion_tpu.interface.io import main as FreqFusionSR
         name = f"{model_id:02}_FreqFusionSR"
