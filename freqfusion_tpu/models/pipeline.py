@@ -32,23 +32,47 @@ from .nafnet import NAFNetSR
 __all__ = ["FreqFusionPipeline", "build_expert_models", "EXPERT_ORDER"]
 
 
-def build_expert_models(scale: int = 4, scan_chunk: int = 512
-                        ) -> Dict[str, Any]:
+GRL_DEPTHS = (4, 4, 8, 8, 8, 4, 4)
+
+
+def build_expert_models(scale: int = 4, scan_chunk: int = 512,
+                        use_scan: bool = False) -> Dict[str, Any]:
     """The four frozen experts in their challenge configurations
-    (expert_loader.py:252-262, 286-338; io.py:156-163)."""
+    (expert_loader.py:252-262, 286-338; io.py:156-163).
+
+    use_scan=True runs repeated layer groups under nn.scan with stacked
+    params (~10x smaller HLO / compile time; identical outputs — see
+    tests/test_drct_scan.py, tests/test_scan_variants.py)."""
     return {
         "drct": DRCT(upscale=scale, embed_dim=180, num_layers=12,
-                     num_heads=6, window_size=16),
+                     num_heads=6, window_size=16, use_scan=use_scan),
         "grl": GRL(upscale=scale, embed_dim=180,
-                   depths=(4, 4, 8, 8, 8, 4, 4), num_heads_w=3,
-                   num_heads_s=3, window_size=8),
+                   depths=GRL_DEPTHS, num_heads_w=3,
+                   num_heads_s=3, window_size=8, use_scan=use_scan),
         "nafnet": NAFNetSR(upscale=scale, width=64, middle_blk_num=12,
                            enc_blk_nums=(2, 2, 4, 8),
                            dec_blk_nums=(2, 2, 2, 2)),
         "mamba": MambaIR(upscale=scale, embed_dim=180,
                          depths=(6,) * 6, mlp_ratio=2.0,
-                         scan_chunk=scan_chunk),
+                         scan_chunk=scan_chunk, use_scan=use_scan),
     }
+
+
+def restack_params_for_scan(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Restructure converter-produced (unrolled layers_i) expert params
+    into the stacked layouts the use_scan models consume."""
+    from ..convert.common import stack_layer_runs, stack_layers
+
+    out = dict(params)
+    for name in ("drct", "mamba"):
+        if name in out and "layers_0" in out[name].get("params", {}):
+            out[name] = {**out[name],
+                         "params": stack_layers(out[name]["params"])}
+    if "grl" in out and "layers_0" in out["grl"].get("params", {}):
+        out["grl"] = {**out["grl"],
+                      "params": stack_layer_runs(out["grl"]["params"],
+                                                 GRL_DEPTHS)}
+    return out
 
 
 class FreqFusionPipeline:
@@ -64,7 +88,7 @@ class FreqFusionPipeline:
     def __init__(self, params: Dict[str, Any], scale: int = 4,
                  fusion_model: Optional[CompleteEnhancedFusionSR] = None,
                  scan_chunk: int = 512, jit_mode: str = "per_expert",
-                 expert_dtype=None):
+                 expert_dtype=None, use_scan: bool = False):
         """jit_mode: 'full' compiles experts+fusion as ONE XLA program
         (maximum fusion); 'per_expert' compiles one program per expert plus
         one for the fusion net — smaller compile units (and the only mode
@@ -74,6 +98,8 @@ class FreqFusionPipeline:
         rate, half the HBM traffic) — the TPU analogue of the reference's
         fp16 autocast for MambaIR (io.py:263). The fusion net and the
         selective-scan state stay fp32. None keeps everything fp32."""
+        if use_scan:
+            params = restack_params_for_scan(params)
         self.params = params
         self.scale = scale
         self.jit_mode = jit_mode
@@ -84,7 +110,8 @@ class FreqFusionPipeline:
                     params[name] = jax.tree_util.tree_map(
                         lambda x: x.astype(expert_dtype)
                         if hasattr(x, "astype") else x, params[name])
-        self.models = build_expert_models(scale, scan_chunk)
+        self.models = build_expert_models(scale, scan_chunk,
+                                          use_scan=use_scan)
         self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)
         self._jit_full = jax.jit(self._forward_full)
         self._jit_experts = jax.jit(self._run_experts_padded)
