@@ -6,9 +6,10 @@ import dataclasses
 import numpy as np
 import pytest
 
-from freqfusion_tpu.config import (Config, LossConfig, LossStage,
-                                   TrainingConfig, ValidationConfig,
-                                   CheckpointConfig, default_config)
+from freqfusion_tpu.config import (Config, FusionConfig, LossConfig,
+                                   LossStage, TrainingConfig,
+                                   ValidationConfig, CheckpointConfig,
+                                   default_config)
 from freqfusion_tpu.data.cached import EXPERTS, FEATURE_CHANNELS
 
 
@@ -40,6 +41,8 @@ def _tiny_config(tmp_path) -> Config:
     )
     return dataclasses.replace(
         cfg,
+        fusion=FusionConfig(fusion_dim=32, refine_channels=32,
+                            refine_depth=3, base_channels=16),
         training=dataclasses.replace(cfg.training, total_epochs=2,
                                      batch_size=2, accumulation_steps=1),
         loss=dataclasses.replace(cfg.loss, stages=stages),

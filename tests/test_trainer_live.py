@@ -7,8 +7,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from freqfusion_tpu.config import (CheckpointConfig, LossStage,
-                                   ValidationConfig, default_config)
+from freqfusion_tpu.config import (CheckpointConfig, FusionConfig,
+                                   LossStage, ValidationConfig,
+                                   default_config)
 from freqfusion_tpu.models.drct import DRCT
 from freqfusion_tpu.models.grl import GRL
 from freqfusion_tpu.models.mambair import MambaIR
@@ -46,6 +47,8 @@ def test_live_training_step(tmp_path):
     cfg = default_config()
     cfg = dataclasses.replace(
         cfg,
+        fusion=FusionConfig(fusion_dim=32, refine_channels=32,
+                            refine_depth=3, base_channels=16),
         training=dataclasses.replace(cfg.training, total_epochs=1,
                                      batch_size=2, accumulation_steps=1),
         loss=dataclasses.replace(
