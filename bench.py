@@ -63,7 +63,9 @@ def bench_full(h, w, scale):
             lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
 
     init_lr = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    models = build_expert_models(scale)
+    # use_scan: layer groups under nn.scan -> the whole 4-expert + fusion
+    # pipeline compiles as ONE XLA program (jit_mode='full').
+    models = build_expert_models(scale, use_scan=True)
     params = {}
     for name, model in models.items():
         params[name] = fake_init(model.init, init_lr)
@@ -77,7 +79,8 @@ def bench_full(h, w, scale):
                   for k in models}
     params["fusion"] = fake_init(fusion.init, init_lr, mock_imgs, mock_feats)
 
-    pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion)
+    pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion,
+                                  jit_mode="full", use_scan=True)
     t0 = time.perf_counter()
     float(jnp.sum(pipeline(lr)))  # sum forces real execution over the relay
     print(f"  compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
