@@ -52,28 +52,37 @@ _RGB_MEAN = np.array([0.4488, 0.4371, 0.4040], np.float32)
 
 class AffineTransform(nn.Module):
     """Logit-scaled cosine attention map + CPB-MLP relative position bias
-    (mixed_attn_block_efficient.py:23-58)."""
+    (mixed_attn_block_efficient.py:23-58). setup-style so the Pallas path
+    can fold the scale into q and take the bias separately."""
 
     num_heads: int
 
-    @nn.compact
+    def setup(self):
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda rng: jnp.log(10.0 * jnp.ones((self.num_heads, 1, 1))))
+        self.cpb_mlp_0 = nn.Dense(512)
+        self.cpb_mlp_2 = nn.Dense(self.num_heads, use_bias=False)
+
+    def logit_scale_value(self) -> jnp.ndarray:
+        return self.logit_scale
+
+    def bias_value(self, table: jnp.ndarray, index: np.ndarray,
+                   n1: int, n2: int) -> jnp.ndarray:
+        """[nH, N1, N2] additive bias: 16*sigmoid(CPB-MLP table lookup)."""
+        bias_table = self.cpb_mlp_2(nn.relu(self.cpb_mlp_0(table)))
+        bias_table = bias_table.reshape(-1, self.num_heads)
+        bias = bias_table[jnp.asarray(index.reshape(-1))]
+        bias = bias.reshape(n1, n2, -1).transpose(2, 0, 1)
+        return 16.0 * nn.sigmoid(bias)
+
     def __call__(self, attn: jnp.ndarray, table: jnp.ndarray,
                  index: np.ndarray,
                  mask: Optional[jnp.ndarray]) -> jnp.ndarray:
         b_, h, n1, n2 = attn.shape
-        logit_scale = self.param(
-            "logit_scale",
-            lambda rng: jnp.log(10.0 * jnp.ones((self.num_heads, 1, 1))))
-        attn = attn * jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
-
-        bias_table = nn.Dense(512, name="cpb_mlp_0")(table)
-        bias_table = nn.Dense(self.num_heads, use_bias=False,
-                              name="cpb_mlp_2")(nn.relu(bias_table))
-        bias_table = bias_table.reshape(-1, self.num_heads)
-        bias = bias_table[jnp.asarray(index.reshape(-1))]
-        bias = bias.reshape(n1, n2, -1).transpose(2, 0, 1)
-        attn = attn + (16.0 * nn.sigmoid(bias))[None]
-
+        attn = attn * jnp.exp(jnp.minimum(self.logit_scale,
+                                          np.log(1.0 / 0.01)))
+        attn = attn + self.bias_value(table, index, n1, n2)[None]
         if mask is not None:
             nw = mask.shape[0]
             attn = attn.reshape(b_ // nw, nw, h, n1, n2) + mask[None, :, None]
@@ -109,7 +118,13 @@ def _merge(x: jnp.ndarray) -> jnp.ndarray:
 
 class WindowAttentionGRL(nn.Module):
     """Half-channel 8x8 (shifted) window attention with cosine similarity
-    (mixed_attn_block_efficient.py:98-165)."""
+    (mixed_attn_block_efficient.py:98-165).
+
+    On TPU the cosine attention routes through the fused Pallas window
+    kernel: q/k are L2-normalized and the clamped logit scale is folded
+    into q per head *outside* the kernel (both elementwise, XLA-fused), so
+    the generic scaled-dot-product kernel computes the identical map with
+    the CPB bias (+16*sigmoid) passed as its additive bias."""
 
     window_size: int
     num_heads: int
@@ -125,20 +140,50 @@ class WindowAttentionGRL(nn.Module):
             qkv = jnp.roll(qkv, shift=(-ss, -ss), axis=(1, 2))
         qkv_w = window_partition(qkv, ws)  # [B_, N, 3C]
         n = ws * ws
-        q, k, v = [
-            _heads(t, self.num_heads)
-            for t in jnp.split(qkv_w, 3, axis=-1)]
-
-        attn = _cosine_attn(q, k)
         table = jnp.asarray(relative_coords_table_all((ws, ws), 1))
         index = relative_position_index_simple((ws, ws), 1, True)
         mask_np = window_shift_mask(h, w, ws, ss)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn = AffineTransform(self.num_heads, name="attn_transform")(
-            attn, table, index, mask)
-        out = _merge(jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn), v,
-                                preferred_element_type=jnp.float32
-                                ).astype(qkv.dtype))
+
+        transform = AffineTransform(self.num_heads, name="attn_transform")
+
+        from ..ops.dispatch import use_pallas
+        if use_pallas():
+            from ..ops.pallas_attention import fused_window_attention
+            qf, kf, vf = jnp.split(qkv_w, 3, axis=-1)
+            hd = c // self.num_heads
+
+            def norm_lanes(x):  # per-head L2 normalize over the lane blocks
+                xh = x.reshape(*x.shape[:-1], self.num_heads, hd)
+                xh = xh / jnp.maximum(
+                    jnp.linalg.norm(xh, axis=-1, keepdims=True), 1e-12)
+                return xh.reshape(*x.shape)
+
+            qn, kn = norm_lanes(qf), norm_lanes(kf)
+            scale_h = jnp.exp(jnp.minimum(transform.logit_scale_value(),
+                                          np.log(1.0 / 0.01)))  # [nH,1,1]
+            scale_vec = jnp.repeat(scale_h.reshape(-1), hd)       # [C]
+            qn = qn * scale_vec
+            bias = transform.bias_value(table, index, n, n)       # [nH,N,N]
+            if mask is not None:
+                # fold the window mask into a per-window bias via the
+                # kernel's mask stream
+                out = fused_window_attention(qn, kn, vf, bias, mask,
+                                             num_heads=self.num_heads,
+                                             scale=1.0)
+            else:
+                out = fused_window_attention(qn, kn, vf, bias, None,
+                                             num_heads=self.num_heads,
+                                             scale=1.0)
+        else:
+            q, k, v = [
+                _heads(t, self.num_heads)
+                for t in jnp.split(qkv_w, 3, axis=-1)]
+            attn = _cosine_attn(q, k)
+            attn = transform(attn, table, index, mask)
+            out = _merge(jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn), v,
+                                    preferred_element_type=jnp.float32
+                                    ).astype(qkv.dtype))
         out = window_reverse(out, ws, h, w)
         if ss:
             out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))

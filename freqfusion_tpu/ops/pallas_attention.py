@@ -105,6 +105,8 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = float(hd ** -0.5) if scale is None else float(scale)
     nw = None if mask is None else mask.shape[0]
     wpb = _pick_wpb(b_, nw, n, c)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # CPU has no Mosaic; tests force FREQFUSION_PALLAS=1
 
     qkv_spec = pl.BlockSpec((wpb, n, c), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
