@@ -103,8 +103,8 @@ def main() -> None:
             dt, metric = bench_full(h, w, scale)
         except Exception as e:  # compile-relay limits etc: degrade, still
             # report a real number rather than nothing
-            print(f"full-pipeline bench failed ({type(e).__name__}); "
-                  f"falling back to fusion-only", flush=True)
+            print(f"full-pipeline bench failed ({type(e).__name__}): "
+                  f"{str(e)[:400]}; falling back to fusion-only", flush=True)
             dt, metric = bench_fusion_only(h, w, scale)
 
     mps = (h * scale) * (w * scale) / 1e6 / dt
