@@ -148,7 +148,10 @@ class WindowAttentionGRL(nn.Module):
         transform = AffineTransform(self.num_heads, name="attn_transform")
 
         from ..ops.dispatch import use_pallas
-        if use_pallas():
+        # The fused kernel pays off at DRCT-scale windows (N=256); GRL's
+        # 64-token windows make tiny [64, hd] matmuls where the batched
+        # einsum path is faster (measured: kernel route cost GRL ~3s/img).
+        if use_pallas() and n >= 256:
             from ..ops.pallas_attention import fused_window_attention
             qf, kf, vf = jnp.split(qkv_w, 3, axis=-1)
             hd = c // self.num_heads
