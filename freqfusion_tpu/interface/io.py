@@ -101,7 +101,12 @@ def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
 
 def load_pipeline(model_dir: str, scale: int = 4,
                   init_missing_fusion: bool = True,
-                  verbose: bool = True) -> FreqFusionPipeline:
+                  verbose: bool = True,
+                  jit_mode: str = "per_expert",
+                  use_scan: bool = False) -> FreqFusionPipeline:
+    """use_scan=True restacks converted params for the nn.scan layer
+    variants (smaller programs; enables jit_mode='full' single-program
+    execution)."""
     params = _load_params(model_dir, verbose)
     if "fusion" not in params and init_missing_fusion:
         # Random fusion weights (warned, like train.py:739)
@@ -118,7 +123,8 @@ def load_pipeline(model_dir: str, scale: int = 4,
         params["fusion"] = model.init(jax.random.PRNGKey(0),
                                       jnp.zeros((1, h, w, 3)),
                                       mock_imgs, mock_feats)
-    return FreqFusionPipeline(params, scale=scale)
+    return FreqFusionPipeline(params, scale=scale, jit_mode=jit_mode,
+                              use_scan=use_scan)
 
 
 def main(model_dir: str, input_path: str, output_path: str,
