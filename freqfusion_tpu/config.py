@@ -7,9 +7,9 @@ form while keeping the original file loadable verbatim via ``load_config``.
 
 from __future__ import annotations
 
-import dataclasses
+
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import yaml
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 
 __all__ = ["avg_pool_2x2", "global_avg_pool"]

@@ -17,7 +17,7 @@ src/models/grl/common/ops.py:36-553). TPU-first choices:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

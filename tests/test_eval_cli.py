@@ -1,6 +1,6 @@
 """eval.py CLI end-to-end on synthetic SR/HR folders."""
 
-import json
+
 import subprocess
 import sys
 from pathlib import Path

@@ -4,7 +4,7 @@ The Pallas path folds L2-normalization and the clamped logit scale into q
 outside the kernel; this pins that algebra to the reference cosine form.
 """
 
-import os
+
 
 import numpy as np
 import pytest

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from reference_loader import has_reference, load_module
+from reference_loader import has_reference
 
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
@@ -17,9 +17,7 @@ from freqfusion_tpu.models.grl import GRL  # noqa: E402
 
 def _load_ref_grl():
     # grl_arch imports from .common — load it as a package
-    import importlib
     import sys
-    from pathlib import Path
     sys.path.insert(0, "/root/reference/src/models")
     from reference_loader import install_mocks
     install_mocks()

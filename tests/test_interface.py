@@ -1,7 +1,7 @@
 """NTIRE interface smoke tests: main(model_dir, input_path, output_path)."""
 
 import numpy as np
-import pytest
+
 
 from freqfusion_tpu.interface.io import main as ntire_main
 from freqfusion_tpu.utils.image_io import read_image, write_image

@@ -3,7 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from freqfusion_tpu.models.drct import DRCT
 from freqfusion_tpu.models.fusion.fusion_v2 import CompleteEnhancedFusionSR

@@ -6,7 +6,6 @@ import pytest
 
 from freqfusion_tpu.config import LossStage, SchedulerConfig
 from freqfusion_tpu.training.schedule import MultiStageLossScheduler
-from freqfusion_tpu.training.state import create_optimizer  # noqa: F401
 
 
 def test_cosine_warm_restarts_matches_torch():

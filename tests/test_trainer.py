@@ -6,8 +6,8 @@ import dataclasses
 import numpy as np
 import pytest
 
-from freqfusion_tpu.config import (Config, FusionConfig, LossConfig,
-                                   LossStage, TrainingConfig,
+from freqfusion_tpu.config import (Config, FusionConfig,
+                                   LossStage,
                                    ValidationConfig, CheckpointConfig,
                                    default_config)
 from freqfusion_tpu.data.cached import EXPERTS, FEATURE_CHANNELS
