@@ -98,18 +98,19 @@ class FreqFusionPipeline:
         rate, half the HBM traffic) — the TPU analogue of the reference's
         fp16 autocast for MambaIR (io.py:263). The fusion net and the
         selective-scan state stay fp32. None keeps everything fp32."""
+        params = dict(params)  # don't mutate the caller's tree
         if use_scan:
             params = restack_params_for_scan(params)
-        self.params = params
-        self.scale = scale
-        self.jit_mode = jit_mode
-        self.expert_dtype = expert_dtype
         if expert_dtype is not None:
             for name in list(params):
                 if name != "fusion":
                     params[name] = jax.tree_util.tree_map(
                         lambda x: x.astype(expert_dtype)
                         if hasattr(x, "astype") else x, params[name])
+        self.params = params
+        self.scale = scale
+        self.jit_mode = jit_mode
+        self.expert_dtype = expert_dtype
         self.models = build_expert_models(scale, scan_chunk,
                                           use_scan=use_scan)
         self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)

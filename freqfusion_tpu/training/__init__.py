@@ -1,5 +1,5 @@
 from .schedule import (
-    cosine_warm_restarts, make_lr_schedule, MultiStageLossScheduler,
+    cosine_warm_restarts, lr_at_epoch, MultiStageLossScheduler,
 )
 from .state import (
     TrainState, create_optimizer, ema_update, make_train_step, make_eval_step,

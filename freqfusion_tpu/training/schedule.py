@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..config import LossStage, SchedulerConfig
 
-__all__ = ["cosine_warm_restarts", "make_lr_schedule", "MultiStageLossScheduler"]
+__all__ = ["cosine_warm_restarts", "lr_at_epoch", "MultiStageLossScheduler"]
 
 
 def cosine_warm_restarts(epoch: float, base_lr: float, eta_min: float,
@@ -36,21 +36,11 @@ def cosine_warm_restarts(epoch: float, base_lr: float, eta_min: float,
     return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t_cur / t_i)) / 2
 
 
-def make_lr_schedule(cfg: SchedulerConfig, base_lr: float,
-                     steps_per_epoch: int):
-    """Per-step LR callable: warmup epochs at warmup_lr, then per-epoch
-    cosine warm restarts (the reference steps its scheduler per epoch,
-    train.py:1081-1082)."""
-
-    def schedule(step) -> float:
-        epoch = step // max(steps_per_epoch, 1)
-        import jax.numpy as jnp
-
-        # Build the per-epoch LR table host-side lazily is not jit-safe;
-        # instead compute with jnp so the schedule traces cleanly.
-        return _lr_at_epoch_jnp(epoch, cfg, base_lr)
-
-    return schedule
+def lr_at_epoch(epoch, cfg: SchedulerConfig, base_lr: float):
+    """jnp-traceable LR at ``epoch``: warmup epochs hold warmup_lr, then
+    per-epoch cosine warm restarts (the reference steps its scheduler once
+    per epoch post-warmup, train.py:1081-1082)."""
+    return _lr_at_epoch_jnp(epoch, cfg, base_lr)
 
 
 def _lr_at_epoch_jnp(epoch, cfg: SchedulerConfig, base_lr: float):

@@ -240,7 +240,6 @@ class FusionTrainer:
         with self.mesh:
             for batch in self.batcher:
                 inputs = _batch_to_model_inputs(batch)
-                inputs.pop("name", None)
                 dev = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, shard), inputs)
                 self.state, metrics = step_fn(self.state, dev)
