@@ -74,7 +74,7 @@ def main():
     if perceptual:
         try:
             import pyiqa  # noqa: F401
-            import torch
+            import torch  # noqa: F401 — used below for tensor conversion
             for m in perceptual:
                 iqa_models[m] = pyiqa.create_metric(m.lower(), device="cpu")
         except ImportError:
@@ -97,7 +97,6 @@ def main():
             row["ssim"] = float(ssim(jnp.asarray(sr), jnp.asarray(hr),
                                      args.crop_border, True))
         for name, metric in iqa_models.items():
-            import torch
             t = torch.from_numpy(sr.transpose(2, 0, 1))[None]
             r = torch.from_numpy(hr.transpose(2, 0, 1))[None]
             try:

@@ -107,6 +107,10 @@ def load_pipeline(model_dir: str, scale: int = 4,
     """use_scan=True restacks converted params for the nn.scan layer
     variants (smaller programs; enables jit_mode='full' single-program
     execution)."""
+    import jax.numpy as jnp
+
+    expert_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
+        os.environ.get("FREQFUSION_EXPERT_DTYPE", "").lower())
     params = _load_params(model_dir, verbose)
     if "fusion" not in params and init_missing_fusion:
         # Random fusion weights (warned, like train.py:739)
@@ -124,7 +128,7 @@ def load_pipeline(model_dir: str, scale: int = 4,
                                       jnp.zeros((1, h, w, 3)),
                                       mock_imgs, mock_feats)
     return FreqFusionPipeline(params, scale=scale, jit_mode=jit_mode,
-                              use_scan=use_scan)
+                              use_scan=use_scan, expert_dtype=expert_dtype)
 
 
 def main(model_dir: str, input_path: str, output_path: str,
