@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 __all__ = ["paired_random_crop", "paired_geometric_augment", "apply_geometry",
-           "invert_geometry", "crop_and_transform"]
+           "invert_geometry", "crop_and_transform", "paired_color_jitter", "cutblur"]
 
 try:
     from ._native import NATIVE_AVAILABLE, crop_geom
@@ -81,3 +81,62 @@ def paired_geometric_augment(tensors: Dict[str, np.ndarray],
     rot_k = int(rng.integers(1, 4)) if rng.random() < rot_prob else 0
     return {k: apply_geometry(v, hflip, vflip, rot_k)
             for k, v in tensors.items()}
+
+
+def paired_color_jitter(lr: np.ndarray, hr: np.ndarray,
+                        rng: np.random.Generator,
+                        brightness: float = 0.05, contrast: float = 0.05,
+                        saturation: float = 0.05,
+                        prob: float = 0.2) -> "tuple":
+    """Identical color transform on both images (augmentations.py:178-264).
+    Live-expert training only — cached mode forbids it because it would
+    invalidate cached expert outputs (cached_dataset.py:36-37)."""
+    if rng.random() >= prob:
+        return lr, hr
+    b = 1.0 + rng.uniform(-brightness, brightness)
+    c = 1.0 + rng.uniform(-contrast, contrast)
+    s = 1.0 + rng.uniform(-saturation, saturation)
+
+    def jitter(img):
+        img = img * b
+        mean = img.mean()
+        img = (img - mean) * c + mean
+        if s != 1.0:
+            try:
+                import cv2
+                u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                hsv = cv2.cvtColor(u8, cv2.COLOR_RGB2HSV).astype(np.float32)
+                hsv[:, :, 1] = np.clip(hsv[:, :, 1] * s, 0, 255)
+                img = cv2.cvtColor(hsv.astype(np.uint8),
+                                   cv2.COLOR_HSV2RGB).astype(np.float32) / 255.0
+            except ImportError:  # saturation needs cv2; skip gracefully
+                pass
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+    return jitter(lr), jitter(hr)
+
+
+def cutblur(lr: np.ndarray, hr: np.ndarray, rng: np.random.Generator,
+            alpha: float = 0.7, prob: float = 0.5,
+            scale: int = 4) -> "tuple":
+    """CutBlur: replace a random HR region with its down-up-sampled self
+    ("Rethinking Data Augmentation for Image Super-resolution";
+    augmentations.py:308-371)."""
+    if rng.random() >= prob:
+        return lr, hr
+    import cv2
+
+    h, w = hr.shape[:2]
+    ratio = rng.beta(alpha, alpha)
+    ch, cw = int(h * ratio), int(w * ratio)
+    if ch < scale or cw < scale:
+        return lr, hr
+    cy = int(rng.integers(0, h - ch + 1))
+    cx = int(rng.integers(0, w - cw + 1))
+    region = hr[cy : cy + ch, cx : cx + cw]
+    small = cv2.resize(region, (max(cw // scale, 1), max(ch // scale, 1)),
+                       interpolation=cv2.INTER_CUBIC)
+    blurred = cv2.resize(small, (cw, ch), interpolation=cv2.INTER_CUBIC)
+    hr_aug = hr.copy()
+    hr_aug[cy : cy + ch, cx : cx + cw] = np.clip(blurred, 0.0, 1.0)
+    return lr, hr_aug
