@@ -39,6 +39,7 @@ def _tiny_pipeline():
                                         mock_imgs, mock_feats)
     pipe.params = params
     pipe.jit_mode = "full"
+    pipe.expert_dtype = None
     pipe._jit_full = jax.jit(pipe._forward_full)
     pipe._jit_experts = jax.jit(pipe._run_experts_padded)
     return pipe
