@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 __all__ = ["paired_random_crop", "paired_geometric_augment", "apply_geometry",
-           "invert_geometry", "crop_and_transform", "paired_color_jitter", "cutblur"]
+           "invert_geometry", "crop_and_transform", "paired_color_jitter", "cutblur", "frequency_augment"]
 
 try:
     from ._native import NATIVE_AVAILABLE, crop_geom
@@ -140,3 +140,34 @@ def cutblur(lr: np.ndarray, hr: np.ndarray, rng: np.random.Generator,
     hr_aug = hr.copy()
     hr_aug[cy : cy + ch, cx : cx + cw] = np.clip(blurred, 0.0, 1.0)
     return lr, hr_aug
+
+
+def frequency_augment(x: np.ndarray, rng: np.random.Generator,
+                      block_size: int = 8,
+                      low_range=(0.9, 1.1), mid_range=(0.85, 1.15),
+                      high_range=(0.8, 1.2), prob: float = 0.5) -> np.ndarray:
+    """Frequency-domain augmentation: random per-band DCT scaling
+    (src/data/frequency_decomposition.py:549-616). Because DCT bands
+    partition the spectrum (low+mid+high == x), scaling and summing the
+    bands equals scaling the masked coefficients directly."""
+    if rng.random() > prob:
+        return x
+    from ..models.fusion.frequency import _dct_basis_np, _zigzag_band_masks_np
+
+    n = block_size
+    h, w = x.shape[:2]
+    ph, pw = (n - h % n) % n, (n - w % n) % n
+    xp = np.pad(x, [(0, ph), (0, pw), (0, 0)], mode="reflect") if (ph or pw) else x
+    hp, wp = xp.shape[:2]
+    basis = _dct_basis_np(n)
+    masks = _zigzag_band_masks_np(n)
+    scales = [rng.uniform(*low_range), rng.uniform(*mid_range),
+              rng.uniform(*high_range)]
+    weight = sum(s * m for s, m in zip(scales, masks))  # [n, n]
+
+    blocks = xp.reshape(hp // n, n, wp // n, n, -1).transpose(0, 2, 4, 1, 3)
+    coeffs = np.einsum("ki,...ij,lj->...kl", basis, blocks, basis)
+    coeffs *= weight
+    spatial = np.einsum("ki,...kl,lj->...ij", basis, coeffs, basis)
+    out = spatial.transpose(0, 3, 1, 4, 2).reshape(hp, wp, -1)
+    return np.clip(out[:h, :w], 0.0, 1.0).astype(np.float32)
