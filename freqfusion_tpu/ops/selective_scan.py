@@ -133,7 +133,7 @@ def selective_scan(u: jnp.ndarray,
 
 
 def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
-               y_ref, h_ref, *, d: int, n: int):
+               y_ref, h_ref, *, d: int, n: int, inner: int = 8):
     t = u_ref.shape[1]
     chunk_idx = pl.program_id(1)
 
@@ -164,7 +164,7 @@ def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
     # across the T/R groups. Full-width Hillis-Steele costs T*log2(T)
     # combine passes; this does T*log2(R) + T — ~2x less VPU work at
     # T=128, R=8.
-    R = min(8, t)
+    R = min(inner, t)
     row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     hs = []
     carry = h_ref[:]
@@ -194,7 +194,8 @@ def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
     h_ref[:] = h[-1:]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "inner",
+                                             "interpret"))
 def selective_scan_pallas(u: jnp.ndarray,
                           delta: jnp.ndarray,
                           A: jnp.ndarray,
@@ -203,6 +204,7 @@ def selective_scan_pallas(u: jnp.ndarray,
                           D: jnp.ndarray,
                           delta_bias: jnp.ndarray,
                           chunk: int = 64,
+                          inner: int = 8,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused selective scan; same contract as ``selective_scan`` with
     delta_softplus=True. u/delta [B, L, D]; B/C [B, L, N]; A [D, N]."""
@@ -225,7 +227,7 @@ def selective_scan_pallas(u: jnp.ndarray,
                                       memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
-        functools.partial(_ss_kernel, d=d, n=n),
+        functools.partial(_ss_kernel, d=d, n=n, inner=inner),
         grid=(b, num_chunks),
         in_specs=[blk(d), blk(d), blk(n), blk(n),
                   full((1, d * n)), full((1, d)), full((1, d))],
