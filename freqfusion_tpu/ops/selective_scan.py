@@ -141,36 +141,37 @@ def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
     def _():
         h_ref[:] = jnp.zeros_like(h_ref)
 
-    u = u_ref[0].astype(jnp.float32)                    # [T, D]
-    delta = jax.nn.softplus(dt_ref[0].astype(jnp.float32) + bias_ref[:])
-    du = delta * u
-
-    # n-major expansion: [T, N*D]
-    dt_rep = jnp.concatenate([delta] * n, axis=1)
-    du_rep = jnp.concatenate([du] * n, axis=1)
-    bb = b_ref[0].astype(jnp.float32)                   # [T, N]
-    cc = c_ref[0].astype(jnp.float32)
-    b_rep = jnp.concatenate(
-        [jnp.broadcast_to(bb[:, i : i + 1], (t, d)) for i in range(n)], axis=1)
-    c_rep = jnp.concatenate(
-        [jnp.broadcast_to(cc[:, i : i + 1], (t, d)) for i in range(n)], axis=1)
-
-    a = jnp.exp(dt_rep * a_ref[:])                      # [T, N*D]
-    bu = du_rep * b_rep
-
-    # Blocked inclusive scan of the (a, b) recurrence: Hillis-Steele within
-    # R-row groups (log2(R) roll+mask levels; lax.associative_scan lowers
-    # to strided sublane slices Mosaic rejects), then a sequential carry
-    # across the T/R groups. Full-width Hillis-Steele costs T*log2(T)
-    # combine passes; this does T*log2(R) + T — ~2x less VPU work at
-    # T=128, R=8.
+    # Blocked inclusive scan: the whole pipeline (softplus -> n-major
+    # expansion -> exp -> Hillis-Steele over R rows -> carry stitch ->
+    # output contraction) runs per R-row group, so peak VMEM is a handful
+    # of [R, N*D] arrays rather than six [T, N*D] ones — which lets the
+    # grid chunk T grow to 1024 (8x fewer grid steps at R=8).
+    # Hillis-Steele uses pltpu.roll + mask (lax.associative_scan lowers to
+    # strided sublane slices Mosaic rejects); blocked recurrence costs
+    # T*log2(R) + T combine passes vs T*log2(T) for the full-width tree.
     R = min(inner, t)
     row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    hs = []
     carry = h_ref[:]
     for g in range(t // R):
-        ag = a[g * R : (g + 1) * R]
-        bg = bu[g * R : (g + 1) * R]
+        sl = slice(g * R, (g + 1) * R)
+        u_g = u_ref[0, sl].astype(jnp.float32)          # [R, D]
+        delta_g = jax.nn.softplus(
+            dt_ref[0, sl].astype(jnp.float32) + bias_ref[:])
+        du_g = delta_g * u_g
+        bb = b_ref[0, sl].astype(jnp.float32)           # [R, N]
+        cc = c_ref[0, sl].astype(jnp.float32)
+
+        dt_rep = jnp.concatenate([delta_g] * n, axis=1)  # [R, N*D]
+        du_rep = jnp.concatenate([du_g] * n, axis=1)
+        b_rep = jnp.concatenate(
+            [jnp.broadcast_to(bb[:, i : i + 1], (R, d)) for i in range(n)],
+            axis=1)
+        c_rep = jnp.concatenate(
+            [jnp.broadcast_to(cc[:, i : i + 1], (R, d)) for i in range(n)],
+            axis=1)
+
+        ag = jnp.exp(dt_rep * a_ref[:])                 # [R, N*D]
+        bg = du_rep * b_rep
         s = 1
         while s < R:
             a_prev = pltpu.roll(ag, s, axis=0)
@@ -183,15 +184,13 @@ def _ss_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
             s *= 2
         hg = ag * carry + bg                            # [R, N*D]
         carry = hg[R - 1 :]
-        hs.append(hg)
-    h = jnp.concatenate(hs, axis=0)                     # [T, N*D]
 
-    z = h * c_rep
-    y = z[:, :d]
-    for i in range(1, n):
-        y = y + z[:, i * d : (i + 1) * d]               # [T, D]
-    y_ref[0] = y + u * dskip_ref[:]
-    h_ref[:] = h[-1:]
+        z = hg * c_rep
+        y = z[:, :d]
+        for i in range(1, n):
+            y = y + z[:, i * d : (i + 1) * d]           # [R, D]
+        y_ref[0, sl] = y + u_g * dskip_ref[:]
+    h_ref[:] = carry
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "inner",
