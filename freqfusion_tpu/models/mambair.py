@@ -103,6 +103,7 @@ class SS2D(nn.Module):
             dts = jnp.einsum("blr,dr->bld", dts, dt_projs_weight[ki],
                              preferred_element_type=jnp.float32)
             if pallas:
+                # chunk 128 measured fastest in-model (512 within noise)
                 y = selective_scan_pallas(xk, dts, A[ki], bs, cs, Dsk[ki],
                                           dt_projs_bias[ki],
                                           chunk=min(self.scan_chunk, 128))
