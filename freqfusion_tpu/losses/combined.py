@@ -101,13 +101,29 @@ def fft_loss(pred: jnp.ndarray, target: jnp.ndarray,
              high_freq_weight: float = 2.0) -> jnp.ndarray:
     """L1 on centered ortho-FFT magnitude (+0.1*phase), radially weighted."""
     h, w = pred.shape[1], pred.shape[2]
-    pf = jnp.fft.fftshift(jnp.fft.fft2(pred, axes=(1, 2), norm="ortho"),
-                          axes=(1, 2))
-    tf = jnp.fft.fftshift(jnp.fft.fft2(target, axes=(1, 2), norm="ortho"),
-                          axes=(1, 2))
+    from ..ops.dft import fft2_ortho, use_matmul_dft
+
+    if use_matmul_dft():
+        # TPU: runtime FFT is size-dependent; matmul-DFT (ops/dft.py) is
+        # exact and cheap at training-patch scale.
+        def spectrum(x):
+            re, im = fft2_ortho(x)
+            re = jnp.fft.fftshift(re, axes=(1, 2))
+            im = jnp.fft.fftshift(im, axes=(1, 2))
+            return jnp.sqrt(re * re + im * im + 1e-24), jnp.arctan2(im, re)
+
+        pm, pp = spectrum(pred)
+        tm, tp = spectrum(target)
+    else:
+        pf = jnp.fft.fftshift(jnp.fft.fft2(pred, axes=(1, 2), norm="ortho"),
+                              axes=(1, 2))
+        tf = jnp.fft.fftshift(jnp.fft.fft2(target, axes=(1, 2), norm="ortho"),
+                              axes=(1, 2))
+        pm, pp = jnp.abs(pf), jnp.angle(pf)
+        tm, tp = jnp.abs(tf), jnp.angle(tf)
     weights = jnp.asarray(_radial_weights_np(h, w, high_freq_weight))[None, :, :, None]
-    mag = jnp.abs(jnp.abs(pf) - jnp.abs(tf)) * weights
-    phase = jnp.abs(jnp.angle(pf) - jnp.angle(tf)) * weights
+    mag = jnp.abs(pm - tm) * weights
+    phase = jnp.abs(pp - tp) * weights
     return mag.mean() + 0.1 * phase.mean()
 
 

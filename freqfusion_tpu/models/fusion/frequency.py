@@ -171,14 +171,26 @@ class FFTDecomposition(nn.Module):
                                  lambda rng: jnp.asarray(5.0, jnp.float32))
         band_scale = self.param("band_scale", nn.initializers.ones, (2,))
 
-        x_fft = jnp.fft.rfft2(x, axes=(1, 2), norm="ortho")
-        h_fft, w_fft = x_fft.shape[1], x_fft.shape[2]
-        mask = resize_bilinear(logits, h_fft, w_fft)
-        mask = nn.sigmoid(mask * jnp.maximum(temperature, 1.0))
-
-        low = jnp.fft.irfft2(x_fft * mask, s=(h, w), axes=(1, 2), norm="ortho")
-        high = jnp.fft.irfft2(x_fft * (1.0 - mask), s=(h, w), axes=(1, 2),
-                              norm="ortho")
+        from ...ops.dft import irfft2_ortho, rfft2_ortho, use_matmul_dft
+        if use_matmul_dft():
+            # TPU: the runtime FFT custom-call is size-dependent
+            # (UNIMPLEMENTED at e.g. 48x64); the matmul-DFT is exact and
+            # ~1 GFLOP at LR scale (ops/dft.py).
+            yr, yi = rfft2_ortho(x)
+            h_fft, w_fft = yr.shape[1], yr.shape[2]
+            mask = resize_bilinear(logits, h_fft, w_fft)
+            mask = nn.sigmoid(mask * jnp.maximum(temperature, 1.0))
+            low = irfft2_ortho(yr * mask, yi * mask, (h, w))
+            high = irfft2_ortho(yr * (1.0 - mask), yi * (1.0 - mask), (h, w))
+        else:
+            x_fft = jnp.fft.rfft2(x, axes=(1, 2), norm="ortho")
+            h_fft, w_fft = x_fft.shape[1], x_fft.shape[2]
+            mask = resize_bilinear(logits, h_fft, w_fft)
+            mask = nn.sigmoid(mask * jnp.maximum(temperature, 1.0))
+            low = jnp.fft.irfft2(x_fft * mask, s=(h, w), axes=(1, 2),
+                                 norm="ortho")
+            high = jnp.fft.irfft2(x_fft * (1.0 - mask), s=(h, w),
+                                  axes=(1, 2), norm="ortho")
         return [low * band_scale[0], high * band_scale[1]]
 
 
