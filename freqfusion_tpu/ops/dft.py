@@ -36,48 +36,54 @@ def use_matmul_dft() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-@functools.lru_cache(maxsize=32)
-def _dft_mats_np(n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """cos/sin matrices: M[j, k] = cos/sin(2*pi*j*k/n), float32 [n, n]."""
-    j = np.arange(n)[:, None].astype(np.float64)
-    k = np.arange(n)[None, :].astype(np.float64)
-    theta = 2.0 * np.pi * j * k / n
-    return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32)
+def _dft_mats_jnp(n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin matrices M[j, k] = cos/sin(2*pi*j*k/n), [n, n], computed
+    ON DEVICE from iota. Embedding them as numpy literals bloats the HLO
+    (several MB of constants per shape) past the remote-compile relay's
+    request limit; computing from iota adds negligible FLOPs. The DFT
+    argument is reduced exactly via (j*k) mod n in int32 before the float
+    multiply, so fp32 cos/sin sees angles <= 2*pi (no range-reduction
+    error at large n)."""
+    import jax
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    m = (j * k) % n
+    theta = m.astype(jnp.float32) * np.float32(2.0 * np.pi / n)
+    return jnp.cos(theta), jnp.sin(theta)
 
 
-@functools.lru_cache(maxsize=32)
-def _irfft_w_mats_np(w: int) -> Tuple[np.ndarray, np.ndarray]:
+def _irfft_w_mats_jnp(w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[K, W] matrices M_r, M_i with x = Xr @ M_r + Xi @ M_i for the
-    inverse rfft along W (ortho), folding Hermitian symmetry in."""
+    inverse rfft along W (ortho, Hermitian symmetry folded in); computed
+    on device from iota like _dft_mats_jnp."""
+    import jax
+
     k_count = w // 2 + 1
-    kk = np.arange(k_count)[:, None].astype(np.float64)
-    ww = np.arange(w)[None, :].astype(np.float64)
-    theta = 2.0 * np.pi * kk * ww / w
-    mult = np.full((k_count, 1), 2.0)
-    mult[0] = 1.0
-    if w % 2 == 0:
-        mult[-1] = 1.0
-    scale = 1.0 / np.sqrt(w)
-    m_r = (mult * np.cos(theta) * scale).astype(np.float32)
-    m_i = (-mult * np.sin(theta) * scale).astype(np.float32)
-    return m_r, m_i
+    kk = jax.lax.broadcasted_iota(jnp.int32, (k_count, w), 0)
+    ww = jax.lax.broadcasted_iota(jnp.int32, (k_count, w), 1)
+    m = (kk * ww) % w
+    theta = m.astype(jnp.float32) * np.float32(2.0 * np.pi / w)
+    kk_col = jax.lax.broadcasted_iota(jnp.int32, (k_count, 1), 0)
+    mult = jnp.where((kk_col == 0) | ((w % 2 == 0) & (kk_col == k_count - 1)),
+                     1.0, 2.0)
+    scale = np.float32(1.0 / np.sqrt(w))
+    return mult * jnp.cos(theta) * scale, -mult * jnp.sin(theta) * scale
 
 
 def rfft2_ortho(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """NHWC real -> (re, im) each [B, H, W//2+1, C], norm='ortho'."""
     b, h, w, c = x.shape
     k = w // 2 + 1
-    cw, sw = _dft_mats_np(w)
-    cwj = jnp.asarray(cw[:, :k])
-    swj = jnp.asarray(sw[:, :k])
+    cw, sw = _dft_mats_jnp(w)
+    cwj = cw[:, :k]
+    swj = sw[:, :k]
     xr = jnp.einsum("bhwc,wk->bhkc", x, cwj,
                     preferred_element_type=jnp.float32)
     xi = -jnp.einsum("bhwc,wk->bhkc", x, swj,
                      preferred_element_type=jnp.float32)
 
-    ch, sh = _dft_mats_np(h)
-    chj = jnp.asarray(ch)
-    shj = jnp.asarray(sh)
+    chj, shj = _dft_mats_jnp(h)
     # exp(-i theta): (xr + i xi)(cos - i sin)
     yr = (jnp.einsum("bhkc,hm->bmkc", xr, chj,
                      preferred_element_type=jnp.float32)
@@ -95,9 +101,7 @@ def irfft2_ortho(yr: jnp.ndarray, yi: jnp.ndarray,
                  s: Tuple[int, int]) -> jnp.ndarray:
     """(re, im) half-spectra [B, H, K, C] -> real NHWC [B, H, W, C]."""
     h, w = s
-    ch, sh = _dft_mats_np(h)
-    chj = jnp.asarray(ch)
-    shj = jnp.asarray(sh)
+    chj, shj = _dft_mats_jnp(h)
     # inverse along H: exp(+i theta), ortho 1/sqrt(H)
     xr = (jnp.einsum("bmkc,mh->bhkc", yr, chj,
                      preferred_element_type=jnp.float32)
@@ -108,10 +112,10 @@ def irfft2_ortho(yr: jnp.ndarray, yi: jnp.ndarray,
           + jnp.einsum("bmkc,mh->bhkc", yr, shj,
                        preferred_element_type=jnp.float32)) / np.sqrt(h)
 
-    m_r, m_i = _irfft_w_mats_np(w)
-    out = (jnp.einsum("bhkc,kw->bhwc", xr, jnp.asarray(m_r),
+    m_r, m_i = _irfft_w_mats_jnp(w)
+    out = (jnp.einsum("bhkc,kw->bhwc", xr, m_r,
                       preferred_element_type=jnp.float32)
-           + jnp.einsum("bhkc,kw->bhwc", xi, jnp.asarray(m_i),
+           + jnp.einsum("bhkc,kw->bhwc", xi, m_i,
                         preferred_element_type=jnp.float32))
     return out
 
@@ -119,13 +123,12 @@ def irfft2_ortho(yr: jnp.ndarray, yi: jnp.ndarray,
 def fft2_ortho(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-spectrum fft2 of real NHWC input -> (re, im) [B, H, W, C]."""
     b, h, w, c = x.shape
-    cw, sw = _dft_mats_np(w)
-    xr = jnp.einsum("bhwc,wk->bhkc", x, jnp.asarray(cw),
+    cw, sw = _dft_mats_jnp(w)
+    xr = jnp.einsum("bhwc,wk->bhkc", x, cw,
                     preferred_element_type=jnp.float32)
-    xi = -jnp.einsum("bhwc,wk->bhkc", x, jnp.asarray(sw),
+    xi = -jnp.einsum("bhwc,wk->bhkc", x, sw,
                      preferred_element_type=jnp.float32)
-    ch, sh = _dft_mats_np(h)
-    chj, shj = jnp.asarray(ch), jnp.asarray(sh)
+    chj, shj = _dft_mats_jnp(h)
     yr = (jnp.einsum("bhkc,hm->bmkc", xr, chj,
                      preferred_element_type=jnp.float32)
           + jnp.einsum("bhkc,hm->bmkc", xi, shj,
