@@ -150,6 +150,10 @@ class ValidationConfig:
     validate_every: int = 5
     crop_border: int = 4
     test_y_channel: bool = True
+    # Validation batches per jitted call (same-shape samples are bucketed);
+    # the reference runs val at batch 1 (train.py:644-649) — batching is a
+    # TPU-side throughput choice with identical per-image metrics.
+    batch_size: int = 4
 
 
 @dataclass(frozen=True)
@@ -313,6 +317,7 @@ def load_config(path: str) -> Config:
     validation = ValidationConfig(
         validate_every=val_raw.get("validate_every", 5),
         crop_border=val_raw.get("crop_border", 4),
+        batch_size=val_raw.get("batch_size", 4),
         test_y_channel=val_raw.get("test_y_channel", True),
     )
 

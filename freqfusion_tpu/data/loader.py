@@ -41,21 +41,48 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            """Timed put so the worker can observe early consumer exit."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
+            # Loader/augmentation errors are enqueued and re-raised in the
+            # consumer — a silent epoch truncation would train on partial
+            # data with no signal.
             try:
                 for batch in self.batcher:
-                    q.put(batch)
-            finally:
-                q.put(sentinel)
+                    if not put(batch):
+                        return
+                put(sentinel)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while True:  # drain so a blocked worker sees `stop` and exits
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)
 
 
 class Batcher:

@@ -209,6 +209,12 @@ def selective_scan_pallas(u: jnp.ndarray,
     delta_softplus=True. u/delta [B, L, D]; B/C [B, L, N]; A [D, N]."""
     b, l, d = u.shape
     n = A.shape[-1]
+    if chunk % min(inner, chunk) != 0:
+        # the kernel's blocked scan iterates range(chunk // R) groups with
+        # R = min(inner, chunk) — a non-divisor would silently drop
+        # chunk % R rows per chunk and corrupt the carry
+        raise ValueError(f"chunk ({chunk}) must be a multiple of inner "
+                         f"({inner})")
     num_chunks = -(-l // chunk)
     lp = num_chunks * chunk
     if lp != l:

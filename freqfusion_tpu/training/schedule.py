@@ -1,10 +1,12 @@
 """Learning-rate schedule and the 3-stage loss curriculum scheduler.
 
 LR schedule reproduces the reference recipe (train.py:847-866, 1039-1082;
-configs/train_config.yaml:97-133): a constant tiny warmup LR for the first
-``warmup_epochs`` epochs, then torch-semantics CosineAnnealingWarmRestarts
-(T_0=50, T_mult=2) stepped once per epoch. Expressed as a pure function of
-the global step so it composes with optax.
+configs/train_config.yaml:97-133): a linear ramp from warmup_lr to base_lr
+over the first ``warmup_epochs`` epochs (reference warmup_lr(),
+train.py:121-127: lr = warmup_lr + (base_lr - warmup_lr) * epoch /
+warmup_epochs), then torch-semantics CosineAnnealingWarmRestarts (T_0=50,
+T_mult=2) stepped once per epoch. Expressed as a pure function of the
+global step so it composes with optax.
 
 MultiStageLossScheduler mirrors src/training/multi_stage_scheduler.py:23-123:
 an epoch -> stage mapping with contiguity validation and stage-change
@@ -62,7 +64,9 @@ def _lr_at_epoch_jnp(epoch, cfg: SchedulerConfig, base_lr: float):
         t_cur = ec - start
     cos_lr = cfg.eta_min + (base_lr - cfg.eta_min) * (
         1.0 + jnp.cos(math.pi * t_cur / t_i)) / 2.0
-    return jnp.where(e < cfg.warmup_epochs, warm, cos_lr)
+    # Linear warmup ramp (reference train.py:121-127).
+    warm_lr = warm + (base_lr - warm) * e / max(cfg.warmup_epochs, 1)
+    return jnp.where(e < cfg.warmup_epochs, warm_lr, cos_lr)
 
 
 class MultiStageLossScheduler:

@@ -122,14 +122,18 @@ def make_eval_step(apply_fn: Callable[..., jnp.ndarray],
     """Jitted validation step: sr + challenge-convention PSNR/SSIM.
 
     ``apply_fn(params, model_state, batch) -> sr`` (eval mode: BN running
-    stats, no dropout)."""
+    stats, no dropout). Metrics are per-image [B] vectors — the reference
+    averages per-image PSNR (train.py:414-533), which differs from PSNR of
+    the pooled batch MSE once B > 1."""
     from ..utils.metrics import psnr, ssim
 
     def step(params, model_state, batch):
         sr = jnp.clip(apply_fn(params, model_state, batch), 0.0, 1.0)
+        per_image = lambda fn: jax.vmap(
+            lambda a, b: fn(a[None], b[None], crop_border, test_y_channel))
         return sr, {
-            "psnr": psnr(sr, batch["hr"], crop_border, test_y_channel),
-            "ssim": ssim(sr, batch["hr"], crop_border, test_y_channel),
+            "psnr": per_image(psnr)(sr, batch["hr"]),
+            "ssim": per_image(ssim)(sr, batch["hr"]),
         }
 
     return jax.jit(step)

@@ -234,7 +234,10 @@ class FusionTrainer:
 
         self.batcher.set_epoch(epoch)
         shard = batch_sharding(self.mesh)
-        totals: Dict[str, float] = {}
+        # Metrics accumulate on-device; syncing (float()) every step would
+        # force a host round-trip per batch and defeat async dispatch
+        # (the reference only syncs every print_freq, train.py:363-374).
+        totals_dev = None
         count = 0
         t0 = time.time()
         with self.mesh:
@@ -244,8 +247,11 @@ class FusionTrainer:
                     lambda x: jax.device_put(x, shard), inputs)
                 self.state, metrics = step_fn(self.state, dev)
                 count += 1
-                for k, v in metrics.items():
-                    totals[k] = totals.get(k, 0.0) + float(v)
+                totals_dev = (metrics if totals_dev is None else
+                              jax.tree_util.tree_map(jnp.add, totals_dev,
+                                                     metrics))
+        totals = ({} if totals_dev is None else
+                  {k: float(v) for k, v in totals_dev.items()})
         dt = time.time() - t0
         avg = {k: v / max(count, 1) for k, v in totals.items()}
         avg["imgs_per_sec"] = (count * self.cfg.training.batch_size) / max(dt, 1e-9)
@@ -261,19 +267,36 @@ class FusionTrainer:
                 test_y_channel=self.cfg.validation.test_y_channel)
         # validate with EMA weights applied (train.py:449-452)
         params = self.state.ema_params or self.state.params
-        sums: Dict[str, float] = {}
-        n = 0
+
+        # Bucket samples by LR shape and run each bucket as batched jitted
+        # calls — the former batch-1 Python loop paid ~26 ms relay overhead
+        # per image before any compute. Eval metrics come back per-image.
+        buckets: Dict[tuple, list] = {}
         for i in range(len(self.val_data)):
             sample = _batch_to_model_inputs(self.val_data[i])
-            batch = {
-                "lr": sample["lr"][None], "hr": sample["hr"][None],
-                "expert_imgs": {k: v[None] for k, v in sample["expert_imgs"].items()},
-                "expert_feats": {k: v[None] for k, v in sample["expert_feats"].items()},
-            }
-            _, metrics = self._eval_step(params, self.state.model_state, batch)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+            buckets.setdefault(sample["lr"].shape, []).append(sample)
+
+        max_bs = max(1, self.cfg.validation.batch_size)
+        sums: Dict[str, float] = {}
+        n = 0
+        for samples in buckets.values():
+            for start in range(0, len(samples), max_bs):
+                group = samples[start:start + max_bs]
+                batch = {
+                    "lr": np.stack([s["lr"] for s in group]),
+                    "hr": np.stack([s["hr"] for s in group]),
+                    "expert_imgs": {
+                        k: np.stack([s["expert_imgs"][k] for s in group])
+                        for k in group[0]["expert_imgs"]},
+                    "expert_feats": {
+                        k: np.stack([s["expert_feats"][k] for s in group])
+                        for k in group[0]["expert_feats"]},
+                }
+                _, metrics = self._eval_step(params, self.state.model_state,
+                                             batch)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+                n += len(group)
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def fit(self, total_epochs: Optional[int] = None) -> Dict[str, float]:
@@ -286,13 +309,19 @@ class FusionTrainer:
             log = {"epoch": epoch, **{f"train/{k}": v
                                       for k, v in train_metrics.items()}}
 
+            # Reset per epoch: only epochs that actually validated may be
+            # recorded as 'best' (reference resets val_metrics=None each
+            # epoch, train.py:1087) — a stale carry-over would mark
+            # non-validated epochs best with an unmeasured PSNR.
+            val_metrics: Optional[Dict[str, float]] = None
             if (self.val_data is not None
                     and ((epoch + 1) % self.cfg.validation.validate_every == 0
                          or epoch == total - 1)):
-                last_val = self.validate()
-                log.update({f"val/{k}": v for k, v in last_val.items()})
-                if last_val.get("psnr", -1) > self.best_psnr:
-                    self.best_psnr = last_val["psnr"]
+                val_metrics = self.validate()
+                last_val = val_metrics
+                log.update({f"val/{k}": v for k, v in val_metrics.items()})
+                if val_metrics.get("psnr", -1) > self.best_psnr:
+                    self.best_psnr = val_metrics["psnr"]
 
             self.logger.log(log)
             self.tb.scalars({k: v for k, v in log.items() if k != "epoch"},
@@ -306,5 +335,5 @@ class FusionTrainer:
             self.ckpt.save(
                 {"state": self.state, "epoch": epoch,
                  "best_psnr": self.best_psnr},
-                epoch, metrics=last_val or None, scheduled=scheduled)
+                epoch, metrics=val_metrics, scheduled=scheduled)
         return last_val

@@ -29,15 +29,20 @@ def test_cosine_warm_restarts_matches_torch():
         sch.step()
 
 
-def test_warmup_epochs_hold_warmup_lr():
+def test_warmup_epochs_ramp_linearly():
+    # Reference warmup_lr() ramps linearly from warmup_lr to base_lr
+    # (train.py:121-127): lr = warm + (base - warm) * epoch / warmup_epochs.
     from freqfusion_tpu.training.schedule import _lr_at_epoch_jnp
 
+    base, warm = 2e-4, 5e-7
     cfg = SchedulerConfig(T_0=50, T_mult=2, eta_min=5e-8,
-                          warmup_epochs=5, warmup_lr=5e-7)
+                          warmup_epochs=5, warmup_lr=warm)
     for e in range(5):
-        assert float(_lr_at_epoch_jnp(e, cfg, 2e-4)) == pytest.approx(5e-7)
+        expected = warm + (base - warm) * e / 5
+        assert float(_lr_at_epoch_jnp(e, cfg, base)) == pytest.approx(
+            expected, rel=1e-5), f"epoch {e}"
     # first post-warmup epoch starts the cosine at base_lr
-    assert float(_lr_at_epoch_jnp(5, cfg, 2e-4)) == pytest.approx(2e-4)
+    assert float(_lr_at_epoch_jnp(5, cfg, base)) == pytest.approx(base)
 
 
 def test_stage_scheduler_boundaries():
