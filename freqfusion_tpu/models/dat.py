@@ -212,7 +212,7 @@ class AdaptiveChannelAttention(nn.Module):
                                  (heads, 1, 1))
         attn = jnp.einsum("bhcn,bhdn->bhcd", qc, kc,
                           preferred_element_type=jnp.float32) * temperature
-        attn = nn.softmax(attn, axis=-1)
+        attn = nn.softmax(attn, axis=-1).astype(vc.dtype)
         out = jnp.einsum("bhcd,bhdn->bhcn", attn, vc,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         attened = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
@@ -325,7 +325,7 @@ class DAT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3)
+        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3).astype(x.dtype)
         x = (x - mean) * self.img_range
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

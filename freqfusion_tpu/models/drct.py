@@ -175,7 +175,7 @@ class DRCT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3)
+        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3).astype(x.dtype)
         x = (x - mean) * self.img_range
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

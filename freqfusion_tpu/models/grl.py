@@ -184,7 +184,8 @@ class WindowAttentionGRL(nn.Module):
                 for t in jnp.split(qkv_w, 3, axis=-1)]
             attn = _cosine_attn(q, k)
             attn = transform(attn, table, index, mask)
-            out = _merge(jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn), v,
+            out = _merge(jnp.einsum("bhnm,bhmd->bhnd",
+                                    _softmax(attn).astype(v.dtype), v,
                                     preferred_element_type=jnp.float32
                                     ).astype(qkv.dtype))
         out = window_reverse(out, ws, h, w)
@@ -226,13 +227,15 @@ class AnchorStripeAttention(nn.Module):
         attn1 = _cosine_attn(a, k)
         attn1 = AffineTransform(self.num_heads, name="attn_transform1")(
             attn1, table, index_a2w, None)
-        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn1), v,
+        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn1).astype(v.dtype),
+                       v,
                        preferred_element_type=jnp.float32).astype(qkv.dtype)
         # stage 2: queries attend to the anchor summary
         attn2 = _cosine_attn(q, a)
         attn2 = AffineTransform(self.num_heads, name="attn_transform2")(
             attn2, table, index_w2a, None)
-        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn2), x,
+        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn2).astype(x.dtype),
+                       x,
                        preferred_element_type=jnp.float32).astype(qkv.dtype)
 
         return window_reverse(_merge(x), sh, h, w, sw)
@@ -380,7 +383,7 @@ class GRL(nn.Module):
         if ph or pw:
             x = pad_reflect(x, 0, ph, 0, pw)
 
-        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3)
+        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3).astype(x.dtype)
         x = (x - mean) * self.img_range
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

@@ -121,7 +121,9 @@ class SS2D(nn.Module):
         y = y + y_col.reshape(b, w, h, d_inner).transpose(0, 2, 1, 3
                                                           ).reshape(b, l, d_inner)
 
-        y = y.reshape(b, h, w, d_inner)
+        # Scan state/output is fp32 (reference forces fp32 in forward_core);
+        # drop back to the network compute dtype so a bf16 run stays bf16.
+        y = y.reshape(b, h, w, d_inner).astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
         y = y * nn.silu(z)
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)
@@ -209,7 +211,7 @@ class MambaIR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3)
+        mean = jnp.asarray(_RGB_MEAN).reshape(1, 1, 1, 3).astype(x.dtype)
         x = (x - mean) * self.img_range
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),

@@ -7,14 +7,15 @@ explicitly instead).
 
 from __future__ import annotations
 
-import functools
 import os
 
 __all__ = ["use_pallas"]
 
 
-@functools.lru_cache(maxsize=1)
 def use_pallas() -> bool:
+    # Not cached: a process may initialize CPU-first and move to TPU (or
+    # flip FREQFUSION_PALLAS); this runs at trace time only, so the
+    # backend query cost is irrelevant.
     env = os.environ.get("FREQFUSION_PALLAS")
     if env is not None:
         return env not in ("0", "false", "False")
