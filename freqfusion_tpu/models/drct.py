@@ -41,8 +41,34 @@ __all__ = ["WindowAttention", "SwinTransformerBlock", "RDG", "DRCT"]
 _RGB_MEAN = np.array([0.4488, 0.4371, 0.4040], np.float32)
 
 
+class SplitQKV(nn.Module):
+    """qkv projection as three separate dots on static weight slices.
+
+    One fused [*, 3C] Dense forces XLA to materialize three full copies at
+    the jnp.split (profiled as expensive as the matmul itself); slicing the
+    *parameter* instead is free and yields three clean MXU dots. Param path
+    stays ``qkv/{kernel,bias}`` so torch conversion is unchanged."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        d = self.dim
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], 3 * d))
+        bias = self.param("bias", nn.initializers.zeros, (3 * d,))
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        return tuple(jnp.dot(x, kernel[:, i * d:(i + 1) * d])
+                     + bias[i * d:(i + 1) * d] for i in range(3))
+
+
 class WindowAttention(nn.Module):
-    """W-MSA with relative position bias (drct_arch.py:127-222)."""
+    """W-MSA with relative position bias (drct_arch.py:127-222).
+
+    Input is spatial NHWC [B, H, W, C]; on TPU the window partition/
+    reverse happen inside the fused Pallas kernel (BlockSpec tiling), so
+    the surrounding graph keeps the plain NHWC layout."""
 
     dim: int
     window_size: int
@@ -51,6 +77,7 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, h, w, _ = x.shape
         ws = self.window_size
         table = self.param(
             "relative_position_bias_table",
@@ -60,16 +87,18 @@ class WindowAttention(nn.Module):
         bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # nH, N, N
 
-        qkv = nn.Dense(self.dim * 3, use_bias=True, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = SplitQKV(self.dim, name="qkv")(x)
         from ..ops.dispatch import use_pallas
-        if use_pallas():
-            from ..ops.pallas_attention import fused_window_attention
-            out = fused_window_attention(q, k, v, bias, mask,
-                                         num_heads=self.num_heads)
+        if use_pallas() and h % ws == 0 and w % ws == 0:
+            from ..ops.pallas_attention import fused_window_attention_nhwc
+            out = fused_window_attention_nhwc(q, k, v, bias, mask,
+                                              num_heads=self.num_heads,
+                                              window_size=ws)
         else:
-            out = multi_head_window_attention(q, k, v, self.num_heads,
+            qw, kw, vw = (window_partition(t, ws) for t in (q, k, v))
+            out = multi_head_window_attention(qw, kw, vw, self.num_heads,
                                               bias=bias, mask=mask)
+            out = window_reverse(out, ws, h, w)
         return nn.Dense(self.dim, name="proj")(out)
 
 
@@ -105,12 +134,10 @@ class SwinTransformerBlock(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
-        xw = window_partition(x, ws)
         mask_np = shifted_window_mask(h, w, ws, ss)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn = WindowAttention(self.dim, ws, self.num_heads,
-                               name="attn")(xw, mask)
-        x = window_reverse(attn, ws, h, w)
+        x = WindowAttention(self.dim, ws, self.num_heads,
+                            name="attn")(x, mask)
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
         x = shortcut + x

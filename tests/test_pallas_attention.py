@@ -39,3 +39,39 @@ def test_fused_window_attention_matches_einsum(with_mask):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_fused_window_attention_nhwc_matches_einsum(with_mask):
+    from freqfusion_tpu.ops.pallas_attention import (
+        fused_window_attention_nhwc)
+    from freqfusion_tpu.ops.window_attention import (
+        window_partition, window_reverse)
+
+    rng = np.random.default_rng(1)
+    b, h, w, heads, hd, ws = 2, 16, 32, 6, 10, 8
+    c = heads * hd
+    n = ws * ws
+    nw = (h // ws) * (w // ws)
+    q = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    k = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    v = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    bias = rng.normal(size=(heads, n, n)).astype(np.float32)
+    mask = None
+    if with_mask:
+        mask = np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0
+                        ).astype(np.float32)
+
+    qw, kw, vw = (window_partition(jnp.asarray(t), ws) for t in (q, k, v))
+    ref = multi_head_window_attention(
+        qw, kw, vw, heads, bias=jnp.asarray(bias),
+        mask=None if mask is None else jnp.asarray(mask))
+    ref = window_reverse(ref, ws, h, w)
+
+    out = fused_window_attention_nhwc(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        None if mask is None else jnp.asarray(mask),
+        num_heads=heads, window_size=ws, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
