@@ -74,6 +74,7 @@ class WindowAttentionHAT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """x is spatial NHWC; windowing happens in the Pallas kernel."""
         ws = self.window_size
         table = self.param(
             "relative_position_bias_table",
@@ -82,16 +83,20 @@ class WindowAttentionHAT(nn.Module):
         idx = jnp.asarray(relative_position_index(ws, ws).reshape(-1))
         bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
         bias = bias.transpose(2, 0, 1)
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        from .drct import SplitQKV
+        q, k, v = SplitQKV(self.dim, name="qkv")(x)
+        b, h, w, _ = x.shape
         from ..ops.dispatch import use_pallas
-        if use_pallas():
-            from ..ops.pallas_attention import fused_window_attention
-            out = fused_window_attention(q, k, v, bias, mask,
-                                         num_heads=self.num_heads)
+        if use_pallas() and h % ws == 0 and w % ws == 0:
+            from ..ops.pallas_attention import fused_window_attention_nhwc
+            out = fused_window_attention_nhwc(q, k, v, bias, mask,
+                                              num_heads=self.num_heads,
+                                              window_size=ws)
         else:
-            out = multi_head_window_attention(q, k, v, self.num_heads,
+            qw, kw, vw = (window_partition(t, ws) for t in (q, k, v))
+            out = multi_head_window_attention(qw, kw, vw, self.num_heads,
                                               bias=bias, mask=mask)
+            out = window_reverse(out, ws, h, w)
         return nn.Dense(self.dim, name="proj")(out)
 
 
@@ -121,12 +126,10 @@ class HAB(nn.Module):
                      name="conv_block")(y)
         if ss > 0:
             y = jnp.roll(y, (-ss, -ss), axis=(1, 2))
-        yw = window_partition(y, ws)
         mask_np = shifted_window_mask(h, w, ws, ss)
         mask = None if mask_np is None else jnp.asarray(mask_np)
-        attn = WindowAttentionHAT(self.dim, ws, self.num_heads,
-                                  name="attn")(yw, mask)
-        y = window_reverse(attn, ws, h, w)
+        y = WindowAttentionHAT(self.dim, ws, self.num_heads,
+                               name="attn")(y, mask)
         if ss > 0:
             y = jnp.roll(y, (ss, ss), axis=(1, 2))
 

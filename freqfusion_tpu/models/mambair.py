@@ -91,28 +91,37 @@ class SS2D(nn.Module):
         from ..ops.dispatch import use_pallas
         pallas = use_pallas()
         if pallas:
-            from ..ops.selective_scan import selective_scan_pallas
+            # One direction-batched kernel dispatch per layer (grid carries
+            # the 4-direction axis) instead of 4 separate scans; the
+            # projections batch over directions on the MXU too.
+            from ..ops.selective_scan import selective_scan_pallas_dirs
 
-        ys = []
-        for ki, xk in enumerate(dirs):
-            x_dbl = jnp.einsum("bld,cd->blc", xk, x_proj_weight[ki],
+            xs = jnp.stack(dirs, 0)                       # [4, B, L, D]
+            x_dbl = jnp.einsum("kbld,kcd->kblc", xs, x_proj_weight,
                                preferred_element_type=jnp.float32)
-            dts = x_dbl[..., :dt_rank]
-            bs = x_dbl[..., dt_rank : dt_rank + n]
-            cs = x_dbl[..., dt_rank + n :]
-            dts = jnp.einsum("blr,dr->bld", dts, dt_projs_weight[ki],
+            dts = jnp.einsum("kblr,kdr->kbld", x_dbl[..., :dt_rank],
+                             dt_projs_weight,
                              preferred_element_type=jnp.float32)
-            if pallas:
-                # chunk 128 measured fastest in-model (512 within noise)
-                y = selective_scan_pallas(xk, dts, A[ki], bs, cs, Dsk[ki],
-                                          dt_projs_bias[ki],
-                                          chunk=min(self.scan_chunk, 128))
-            else:
+            y4 = selective_scan_pallas_dirs(
+                xs, dts, A, x_dbl[..., dt_rank: dt_rank + n],
+                x_dbl[..., dt_rank + n:], Dsk, dt_projs_bias,
+                chunk=min(self.scan_chunk, 128))
+            ys = [y4[ki] for ki in range(k)]
+        else:
+            ys = []
+            for ki, xk in enumerate(dirs):
+                x_dbl = jnp.einsum("bld,cd->blc", xk, x_proj_weight[ki],
+                                   preferred_element_type=jnp.float32)
+                dts = x_dbl[..., :dt_rank]
+                bs = x_dbl[..., dt_rank : dt_rank + n]
+                cs = x_dbl[..., dt_rank + n :]
+                dts = jnp.einsum("blr,dr->bld", dts, dt_projs_weight[ki],
+                                 preferred_element_type=jnp.float32)
                 y = selective_scan(xk, dts, A[ki], bs, cs, Dsk[ki],
                                    delta_bias=dt_projs_bias[ki],
                                    delta_softplus=True,
                                    chunk=self.scan_chunk)
-            ys.append(y)
+                ys.append(y)
 
         # Undo the direction layouts and sum.
         y = ys[0]

@@ -209,6 +209,8 @@ def selective_scan_pallas(u: jnp.ndarray,
     delta_softplus=True. u/delta [B, L, D]; B/C [B, L, N]; A [D, N]."""
     b, l, d = u.shape
     n = A.shape[-1]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # no Mosaic on CPU (tests force FREQFUSION_PALLAS=1)
     if chunk % min(inner, chunk) != 0:
         # the kernel's blocked scan iterates range(chunk // R) groups with
         # R = min(inner, chunk) — a non-divisor would silently drop
@@ -244,3 +246,272 @@ def selective_scan_pallas(u: jnp.ndarray,
       D.astype(jnp.float32).reshape(1, d),
       delta_bias.astype(jnp.float32).reshape(1, d))
     return y[:, :l]
+
+
+# ---------------------------------------------------------------------------
+# Direction-batched kernel (v2)
+# ---------------------------------------------------------------------------
+#
+# SS2D runs FOUR independent scans per layer (row/col major + reversals,
+# mambair_arch.py:339-369). v1 dispatched one pallas_call per direction
+# (144 per image through MambaIR); here the direction axis joins the grid,
+# with per-direction A/D/dt_bias streamed via index maps. The in-chunk scan
+# also changes shape: v1 looped 16 sequential [R, N*D] group scans per
+# chunk; v2 runs the Hillis-Steele passes on the FULL [chunk, N*D] block
+# with row%R masks (identical element count, 16x fewer instruction issues
+# and no inter-group serialization through the scan passes), then stitches
+# group carries in a short sequential loop.
+
+
+def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
+                    y_ref, h_ref, *, d: int, n: int, inner: int = 8):
+    t = u_ref.shape[2]
+    chunk_idx = pl.program_id(2)
+
+    @pl.when(chunk_idx == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    R = min(inner, t)
+    rowmod = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % R
+
+    u = u_ref[0, 0].astype(jnp.float32)                    # [t, D]
+    delta = jax.nn.softplus(dt_ref[0, 0].astype(jnp.float32) + bias_ref[0])
+    du = delta * u
+    bb = b_ref[0, 0].astype(jnp.float32)                   # [t, N]
+    cc = c_ref[0, 0].astype(jnp.float32)
+
+    # n-major lane flattening (index n*D + d) via static concats — Mosaic
+    # rejects [t, D, N] -> [t, D*N] reshapes.
+    dt_rep = jnp.concatenate([delta] * n, axis=1)          # [t, N*D]
+    du_rep = jnp.concatenate([du] * n, axis=1)
+    b_rep = jnp.concatenate(
+        [jnp.broadcast_to(bb[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
+    c_rep = jnp.concatenate(
+        [jnp.broadcast_to(cc[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
+
+    ag = jnp.exp(dt_rep * a_ref[0])                        # [t, N*D]
+    bg = du_rep * b_rep
+    s = 1
+    while s < R:
+        a_prev = pltpu.roll(ag, s, axis=0)
+        b_prev = pltpu.roll(bg, s, axis=0)
+        valid = rowmod >= s
+        a_prev = jnp.where(valid, a_prev, 1.0)
+        b_prev = jnp.where(valid, b_prev, 0.0)
+        bg = ag * b_prev + bg
+        ag = ag * a_prev
+        s *= 2
+
+    carry = h_ref[:]
+    pieces = []
+    for g in range(t // R):
+        sl = slice(g * R, (g + 1) * R)
+        hg = ag[sl] * carry + bg[sl]
+        carry = hg[R - 1:]
+        pieces.append(hg)
+    h_ref[:] = carry
+    h = jnp.concatenate(pieces, axis=0)                    # [t, N*D]
+
+    z = h * c_rep
+    y = z[:, :d]
+    for i in range(1, n):
+        y = y + z[:, i * d: (i + 1) * d]
+    y_ref[0, 0] = y + u * dskip_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "inner", "interpret"))
+def selective_scan_pallas_dirs(u: jnp.ndarray,
+                               delta: jnp.ndarray,
+                               A: jnp.ndarray,
+                               B: jnp.ndarray,
+                               C: jnp.ndarray,
+                               D: jnp.ndarray,
+                               delta_bias: jnp.ndarray,
+                               chunk: int = 128,
+                               inner: int = 8,
+                               interpret: bool = False) -> jnp.ndarray:
+    """All-direction selective scan (delta_softplus=True semantics).
+
+    u/delta: [K, B, L, D]; B/C: [K, B, L, N]; A: [K, D, N];
+    D/delta_bias: [K, D]. Returns y [K, B, L, D] float32.
+    """
+    k, b, l, d = u.shape
+    n = A.shape[-1]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # no Mosaic on CPU (tests force FREQFUSION_PALLAS=1)
+    if chunk % min(inner, chunk) != 0:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of inner "
+                         f"({inner})")
+    num_chunks = -(-l // chunk)
+    lp = num_chunks * chunk
+    if lp != l:
+        pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+        u, delta, B, C = (jnp.pad(x, pad) for x in (u, delta, B, C))
+
+    # per-direction n-major flatten: A[k, d, n] -> [k, 1, n*D] (the unit
+    # middle axis keeps the VMEM block 2D-tileable: Mosaic requires the
+    # trailing block dims to divide (8, 128) or equal the array dims)
+    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(k, 1, d * n)
+
+    def blk(feat):
+        return pl.BlockSpec((1, 1, chunk, feat),
+                            lambda ki, bi, j: (ki, bi, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def per_dir(feat):
+        return pl.BlockSpec((1, 1, feat), lambda ki, bi, j: (ki, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_ss_dirs_kernel, d=d, n=n, inner=inner),
+        grid=(k, b, num_chunks),
+        in_specs=[blk(d), blk(d), blk(n), blk(n),
+                  per_dir(d * n), per_dir(d), per_dir(d)],
+        out_specs=blk(d),
+        out_shape=jax.ShapeDtypeStruct((k, b, lp, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, B, C, a_flat,
+      D.astype(jnp.float32).reshape(k, 1, d),
+      delta_bias.astype(jnp.float32).reshape(k, 1, d))
+    return y[:, :, :l]
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional kernel (v3): reversed directions run a *backward* recurrence
+# ---------------------------------------------------------------------------
+#
+# SS2D's directions 2/3 are the row/col sequences reversed. Materializing
+# the flips cost ~190 ms/image of `rev` ops plus stack copies (profiled).
+# Instead the backward kernel walks the chunk grid in reverse via its index
+# maps and runs the suffix recurrence h_t = a_t * h_{t+1} + b_t in-chunk,
+# so both passes read the SAME unflipped arrays and both outputs come back
+# in natural order (no un-flip either).
+
+
+def _ss_dirs_kernel_rev(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref,
+                        bias_ref, y_ref, h_ref, *, d: int, n: int,
+                        inner: int = 8):
+    t = u_ref.shape[2]
+    chunk_idx = pl.program_id(2)
+
+    @pl.when(chunk_idx == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    R = min(inner, t)
+    rowmod = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % R
+
+    u = u_ref[0, 0].astype(jnp.float32)
+    delta = jax.nn.softplus(dt_ref[0, 0].astype(jnp.float32) + bias_ref[0])
+    du = delta * u
+    bb = b_ref[0, 0].astype(jnp.float32)
+    cc = c_ref[0, 0].astype(jnp.float32)
+
+    dt_rep = jnp.concatenate([delta] * n, axis=1)
+    du_rep = jnp.concatenate([du] * n, axis=1)
+    b_rep = jnp.concatenate(
+        [jnp.broadcast_to(bb[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
+    c_rep = jnp.concatenate(
+        [jnp.broadcast_to(cc[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
+
+    ag = jnp.exp(dt_rep * a_ref[0])
+    bg = du_rep * b_rep
+    s = 1
+    while s < R:
+        # suffix combine: segment [r, r+s) absorbs [r+s, r+2s)
+        a_next = pltpu.roll(ag, t - s, axis=0)
+        b_next = pltpu.roll(bg, t - s, axis=0)
+        valid = rowmod <= R - 1 - s
+        a_next = jnp.where(valid, a_next, 1.0)
+        b_next = jnp.where(valid, b_next, 0.0)
+        bg = ag * b_next + bg
+        ag = ag * a_next
+        s *= 2
+
+    carry = h_ref[:]
+    pieces = []
+    for g in range(t // R - 1, -1, -1):
+        sl = slice(g * R, (g + 1) * R)
+        hg = ag[sl] * carry + bg[sl]
+        carry = hg[0:1]
+        pieces.append(hg)
+    h_ref[:] = carry
+    h = jnp.concatenate(pieces[::-1], axis=0)
+
+    z = h * c_rep
+    y = z[:, :d]
+    for i in range(1, n):
+        y = y + z[:, i * d: (i + 1) * d]
+    y_ref[0, 0] = y + u * dskip_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "inner", "interpret"))
+def selective_scan_pallas_bidir(u: jnp.ndarray,
+                                delta: jnp.ndarray,
+                                A: jnp.ndarray,
+                                B: jnp.ndarray,
+                                C: jnp.ndarray,
+                                D: jnp.ndarray,
+                                delta_bias: jnp.ndarray,
+                                chunk: int = 128,
+                                inner: int = 8,
+                                interpret: bool = False):
+    """SS2D's 4-direction scan from UNFLIPPED sequences.
+
+    u: [2, b, l, d] (row-major, col-major). delta/B/C: [4, b, l, *] for
+    directions (row-fwd, col-fwd, row-bwd, col-bwd), all computed from the
+    unflipped sequences. A: [4, d, n]; D/delta_bias: [4, d].
+    Returns (y_fwd [2, b, l, d], y_bwd [2, b, l, d]) float32, both in
+    natural sequence order (backward outputs need no un-flip).
+    """
+    _, b, l, d = u.shape
+    n = A.shape[-1]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if chunk % min(inner, chunk) != 0:
+        raise ValueError(f"chunk ({chunk}) must be a multiple of inner "
+                         f"({inner})")
+    num_chunks = -(-l // chunk)
+    lp = num_chunks * chunk
+    if lp != l:
+        pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
+        u = jnp.pad(u, pad)
+        delta, B, C = (jnp.pad(x, pad) for x in (delta, B, C))
+
+    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(4, 1, d * n)
+    dskip = D.astype(jnp.float32).reshape(4, 1, d)
+    bias = delta_bias.astype(jnp.float32).reshape(4, 1, d)
+
+    def call(kernel, dir_idx, fwd: bool):
+        if fwd:
+            cmap = lambda ki, bi, j: (ki, bi, j, 0)
+        else:
+            cmap = lambda ki, bi, j: (ki, bi, num_chunks - 1 - j, 0)
+
+        def blk(feat, index_map=None):
+            return pl.BlockSpec((1, 1, chunk, feat), index_map or cmap,
+                                memory_space=pltpu.VMEM)
+
+        def per_dir(arr):
+            return pl.BlockSpec((1, 1, arr.shape[-1]),
+                                lambda ki, bi, j: (ki, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        sl = slice(dir_idx, dir_idx + 2)
+        args = (u, delta[sl], B[sl], C[sl], a_flat[sl], dskip[sl], bias[sl])
+        return pl.pallas_call(
+            functools.partial(kernel, d=d, n=n, inner=inner),
+            grid=(2, b, num_chunks),
+            in_specs=[blk(d), blk(d), blk(n), blk(n),
+                      per_dir(a_flat), per_dir(dskip), per_dir(bias)],
+            out_specs=blk(d),
+            out_shape=jax.ShapeDtypeStruct((2, b, lp, d), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+            interpret=interpret,
+        )(*args)
+
+    y_fwd = call(_ss_dirs_kernel, 0, True)[:, :, :l]
+    y_bwd = call(_ss_dirs_kernel_rev, 2, False)[:, :, :l]
+    return y_fwd, y_bwd

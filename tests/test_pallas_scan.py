@@ -31,3 +31,40 @@ def test_pallas_scan_matches_xla(l, chunk):
                               jnp.asarray(bias), chunk=chunk, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_selective_scan_pallas_dirs_matches_xla():
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_dirs)
+
+    rng = np.random.default_rng(3)
+    k, b, l, d, n = 4, 2, 200, 24, 4
+    u = rng.normal(size=(k, b, l, d)).astype(np.float32)
+    dt = (rng.normal(size=(k, b, l, d)) * 0.5).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (k, d, n))).astype(np.float32)
+    B = rng.normal(size=(k, b, l, n)).astype(np.float32)
+    C = rng.normal(size=(k, b, l, n)).astype(np.float32)
+    D = rng.normal(size=(k, d)).astype(np.float32)
+    bias = (rng.normal(size=(k, d)) * 0.2).astype(np.float32)
+
+    got = selective_scan_pallas_dirs(
+        *map(jnp.asarray, (u, dt, A, B, C, D, bias)),
+        chunk=64, inner=8, interpret=True)
+    for ki in range(k):
+        ref = selective_scan(
+            jnp.asarray(u[ki]), jnp.asarray(dt[ki]), jnp.asarray(A[ki]),
+            jnp.asarray(B[ki]), jnp.asarray(C[ki]), jnp.asarray(D[ki]),
+            delta_bias=jnp.asarray(bias[ki]), chunk=64)
+        np.testing.assert_allclose(np.asarray(got[ki]), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_selective_scan_pallas_dirs_rejects_bad_inner():
+    from freqfusion_tpu.ops.selective_scan import selective_scan_pallas_dirs
+
+    z = jnp.zeros((1, 1, 8, 4), jnp.float32)
+    zn = jnp.zeros((1, 1, 8, 2), jnp.float32)
+    with pytest.raises(ValueError):
+        selective_scan_pallas_dirs(
+            z, z, jnp.zeros((1, 4, 2)), zn, zn, jnp.zeros((1, 4)),
+            jnp.zeros((1, 4)), chunk=6, inner=4, interpret=True)
