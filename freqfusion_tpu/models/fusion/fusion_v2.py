@@ -79,6 +79,9 @@ class CompleteEnhancedFusionSR(nn.Module):
     enable_multi_resolution: bool = True
     enable_collaborative: bool = True
     enable_edge_enhance: bool = True
+    # Attention dropout in phases 3/4 (reference hardcodes 0.1); 0 gives a
+    # fully deterministic train step (used by the train-mode parity test).
+    attn_dropout: float = 0.1
 
     @nn.compact
     def __call__(self,
@@ -106,6 +109,7 @@ class CompleteEnhancedFusionSR(nn.Module):
         if self.enable_cross_band_attn and raw_9_bands is not None:
             enhanced_9 = EnhancedCrossBandWithLKA(
                 dim=64, num_heads=4, lka_kernel=21,
+                dropout=self.attn_dropout,
                 name="cross_band")(raw_9_bands, train)
             # DCT-band sum re-forms the routing image; this is the gradient
             # bridge from the loss back into Phases 2/3 (reference :713).
@@ -116,7 +120,7 @@ class CompleteEnhancedFusionSR(nn.Module):
                 and all(n in expert_feats for n in names)):
             enhanced_outputs = EnhancedCollaborativeWithLKA(
                 num_experts=self.num_experts, feature_dim=self.fusion_dim,
-                num_heads=8, lka_kernel=21,
+                num_heads=8, lka_kernel=21, dropout=self.attn_dropout,
                 name="collaborative")(expert_feats, expert_output_list, train)
         else:
             enhanced_outputs = expert_output_list

@@ -119,6 +119,7 @@ class EnhancedCrossBandWithLKA(nn.Module):
     dim: int = 64
     num_heads: int = 4
     lka_kernel: int = 21
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, bands: List[jnp.ndarray], train: bool = False
@@ -128,8 +129,8 @@ class EnhancedCrossBandWithLKA(nn.Module):
         projected = jnp.stack([proj(b) for b in bands], axis=-2)  # [B,H,W,T,dim]
 
         normed = nn.LayerNorm(name="norm")(projected)
-        attn = TokenMultiheadAttention(self.num_heads, name="band_attention")(
-            normed, train)
+        attn = TokenMultiheadAttention(self.num_heads, self.dropout,
+                                       name="band_attention")(normed, train)
         attn = attn + projected
 
         lka = LKABlock(self.lka_kernel, name="lka_block")
@@ -152,6 +153,7 @@ class EnhancedCollaborativeWithLKA(nn.Module):
     feature_dim: int = 128
     num_heads: int = 8
     lka_kernel: int = 21
+    dropout: float = 0.1
 
     EXPERT_NAMES = ("drct", "grl", "nafnet", "mamba")
 
@@ -168,8 +170,8 @@ class EnhancedCollaborativeWithLKA(nn.Module):
         stacked = jnp.stack(aligned, axis=-2)  # [B, H, W, E, C]
 
         normed = nn.LayerNorm(name="norm1")(stacked)
-        attn = TokenMultiheadAttention(self.num_heads, name="cross_attn")(
-            normed, train)
+        attn = TokenMultiheadAttention(self.num_heads, self.dropout,
+                                       name="cross_attn")(normed, train)
         stacked = stacked + attn
         h = nn.LayerNorm(name="norm2")(stacked)
         h = nn.Dense(self.feature_dim * 2, name="ffn_0")(h)

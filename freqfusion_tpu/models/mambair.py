@@ -91,22 +91,29 @@ class SS2D(nn.Module):
         from ..ops.dispatch import use_pallas
         pallas = use_pallas()
         if pallas:
-            # One direction-batched kernel dispatch per layer (grid carries
-            # the 4-direction axis) instead of 4 separate scans; the
-            # projections batch over directions on the MXU too.
-            from ..ops.selective_scan import selective_scan_pallas_dirs
+            # Bidirectional direction-batched kernel: dirs 2/3 run a
+            # BACKWARD recurrence over the natural-order sequences, so no
+            # flip is ever materialized (neither inputs nor outputs) and
+            # the whole layer is two pallas dispatches. The per-direction
+            # projections batch over directions on the MXU: weights
+            # [4, C, D] -> [fwd/bwd, row/col, C, D] so each unflipped
+            # layout feeds both its forward and backward weight sets.
+            from ..ops.selective_scan import selective_scan_pallas_bidir
 
-            xs = jnp.stack(dirs, 0)                       # [4, B, L, D]
-            x_dbl = jnp.einsum("kbld,kcd->kblc", xs, x_proj_weight,
+            xs2 = jnp.stack(dirs[:2], 0)                  # [2, B, L, D]
+            w4 = x_proj_weight.reshape(2, 2, dt_rank + 2 * n, d_inner)
+            x_dbl = jnp.einsum("ibld,jicd->jiblc", xs2, w4,
                                preferred_element_type=jnp.float32)
+            x_dbl = x_dbl.reshape(k, b, l, dt_rank + 2 * n)
             dts = jnp.einsum("kblr,kdr->kbld", x_dbl[..., :dt_rank],
                              dt_projs_weight,
                              preferred_element_type=jnp.float32)
-            y4 = selective_scan_pallas_dirs(
-                xs, dts, A, x_dbl[..., dt_rank: dt_rank + n],
+            y_fwd, y_bwd = selective_scan_pallas_bidir(
+                xs2, dts, A, x_dbl[..., dt_rank: dt_rank + n],
                 x_dbl[..., dt_rank + n:], Dsk, dt_projs_bias,
                 chunk=min(self.scan_chunk, 128))
-            ys = [y4[ki] for ki in range(k)]
+            # All four outputs already in natural order.
+            ys = (y_fwd[0], y_fwd[1], y_bwd[0], y_bwd[1])
         else:
             ys = []
             for ki, xk in enumerate(dirs):
@@ -123,10 +130,14 @@ class SS2D(nn.Module):
                                    chunk=self.scan_chunk)
                 ys.append(y)
 
-        # Undo the direction layouts and sum.
-        y = ys[0]
-        y = y + ys[2][:, ::-1]
-        y_col = ys[1] + ys[3][:, ::-1]
+        # Undo the direction layouts and sum (pallas outputs need no
+        # un-flip; the XLA path's dirs 2/3 come back reversed).
+        if pallas:
+            y = ys[0] + ys[2]
+            y_col = ys[1] + ys[3]
+        else:
+            y = ys[0] + ys[2][:, ::-1]
+            y_col = ys[1] + ys[3][:, ::-1]
         y = y + y_col.reshape(b, w, h, d_inner).transpose(0, 2, 1, 3
                                                           ).reshape(b, l, d_inner)
 

@@ -13,7 +13,6 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from freqfusion_tpu.models.grl import GRL  # noqa: E402
-from freqfusion_tpu.ops import dispatch  # noqa: E402
 
 
 def test_grl_pallas_route_matches_einsum(monkeypatch):
@@ -26,14 +25,11 @@ def test_grl_pallas_route_matches_einsum(monkeypatch):
     params = model.init(jax.random.PRNGKey(0), x)
 
     monkeypatch.setenv("FREQFUSION_PALLAS", "0")
-    dispatch.use_pallas.cache_clear()
     sr_ref, _ = model.apply(params, x)
 
     monkeypatch.setenv("FREQFUSION_PALLAS", "1")
-    dispatch.use_pallas.cache_clear()
     sr_pal, _ = model.apply(params, x)
 
-    dispatch.use_pallas.cache_clear()
     monkeypatch.delenv("FREQFUSION_PALLAS")
 
     np.testing.assert_allclose(np.asarray(sr_pal), np.asarray(sr_ref),

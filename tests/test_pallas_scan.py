@@ -59,6 +59,44 @@ def test_selective_scan_pallas_dirs_matches_xla():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_selective_scan_pallas_bidir_matches_flipped_scan():
+    """Backward kernel over natural order == forward scan over flipped
+    sequences (then un-flipped), the SS2D dirs-2/3 semantics."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_bidir)
+
+    rng = np.random.default_rng(7)
+    b, l, d, n = 2, 200, 24, 4
+    u = rng.normal(size=(2, b, l, d)).astype(np.float32)
+    dt = (rng.normal(size=(4, b, l, d)) * 0.5).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (4, d, n))).astype(np.float32)
+    B = rng.normal(size=(4, b, l, n)).astype(np.float32)
+    C = rng.normal(size=(4, b, l, n)).astype(np.float32)
+    D = rng.normal(size=(4, d)).astype(np.float32)
+    bias = (rng.normal(size=(4, d)) * 0.2).astype(np.float32)
+
+    y_fwd, y_bwd = selective_scan_pallas_bidir(
+        *map(jnp.asarray, (u, dt, A, B, C, D, bias)),
+        chunk=64, inner=8, interpret=True)
+
+    for i in range(2):
+        ref = selective_scan(
+            jnp.asarray(u[i]), jnp.asarray(dt[i]), jnp.asarray(A[i]),
+            jnp.asarray(B[i]), jnp.asarray(C[i]), jnp.asarray(D[i]),
+            delta_bias=jnp.asarray(bias[i]), chunk=64)
+        np.testing.assert_allclose(np.asarray(y_fwd[i]), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        # dirs 2/3: flip inputs, forward scan, flip output back
+        kd = 2 + i
+        ref_b = selective_scan(
+            jnp.asarray(u[i][:, ::-1]), jnp.asarray(dt[kd][:, ::-1]),
+            jnp.asarray(A[kd]), jnp.asarray(B[kd][:, ::-1]),
+            jnp.asarray(C[kd][:, ::-1]), jnp.asarray(D[kd]),
+            delta_bias=jnp.asarray(bias[kd]), chunk=64)[:, ::-1]
+        np.testing.assert_allclose(np.asarray(y_bwd[i]), np.asarray(ref_b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_selective_scan_pallas_dirs_rejects_bad_inner():
     from freqfusion_tpu.ops.selective_scan import selective_scan_pallas_dirs
 
