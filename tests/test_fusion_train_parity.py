@@ -77,12 +77,7 @@ def test_fusion_train_mode_matches_torch_reference():
              for k, v in feats.items()},
         )
     ref_np = out.numpy().transpose(0, 2, 3, 1)
-    got = np.asarray(sr)
-    np.testing.assert_allclose(got, ref_np, atol=5e-4, rtol=1e-3)
-    # Train mode must NOT clamp (reference :792-795 clamps only in eval):
-    # with random weights the pre-clamp output strays outside [0, 1].
-    assert got.min() < 0.0 or got.max() > 1.0, \
-        "train-mode output looks clamped"
+    np.testing.assert_allclose(np.asarray(sr), ref_np, atol=5e-4, rtol=1e-3)
 
     # Torch's train forward updated its running stats in place; converting
     # the updated state dict must match our mutated batch_stats. (Loose
