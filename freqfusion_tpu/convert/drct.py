@@ -15,7 +15,7 @@ import numpy as np
 
 from .common import conv_kernel, linear_kernel, unflatten
 
-__all__ = ["convert_drct"]
+__all__ = ["convert_drct", "sniff_drct_config"]
 
 
 def convert_drct(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -76,3 +76,38 @@ def convert_drct(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             raise KeyError(f"unmapped DRCT key: {name}")
 
     return {"params": unflatten(out)}
+
+
+def sniff_drct_config(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Derive DRCT model kwargs from state-dict tensor shapes.
+
+    Mirrors the reference's shape-filtered flexible loading
+    (expert_loader.py:81-118) the TPU-native way: instead of silently
+    dropping mismatched tensors, instantiate the geometry the checkpoint
+    was trained with. Handles both the reference-as-instantiated
+    mlp_ratio=4 (34.17M) and the official DRCT-L_X4 release's mlp_ratio=2
+    (27.58M) cleanly.
+    """
+    embed_dim = int(sd["conv_first.weight"].shape[0])
+    num_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("layers."))
+    table = sd["layers.0.swin1.attn.relative_position_bias_table"]
+    window_size = (int(round(table.shape[0] ** 0.5)) + 1) // 2
+    num_heads = int(table.shape[1])
+    gc = int(sd["layers.0.adjust1.weight"].shape[0])
+    mlp_hidden = int(sd["layers.0.swin1.mlp.fc1.weight"].shape[0])
+    mlp_ratio = mlp_hidden / embed_dim
+    num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
+    # each upsample conv is x2 pixel-shuffle: count them for the scale
+    n_up = sum(1 for k in sd
+               if k.startswith("upsample.") and k.endswith(".weight"))
+    return {
+        "embed_dim": embed_dim,
+        "num_layers": num_layers,
+        "num_heads": num_heads,
+        "window_size": window_size,
+        "gc": gc,
+        "mlp_ratio": mlp_ratio,
+        "num_feat": num_feat,
+        "upscale": 2 ** n_up,
+    }

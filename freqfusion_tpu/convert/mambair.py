@@ -17,7 +17,7 @@ import numpy as np
 
 from .common import conv_kernel, dw_conv_kernel, linear_kernel, unflatten
 
-__all__ = ["convert_mambair"]
+__all__ = ["convert_mambair", "sniff_mambair_config"]
 
 
 def _norm(leaf: str) -> str:
@@ -96,3 +96,36 @@ def convert_mambair(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
             raise KeyError(f"unmapped MambaIR key: {name}")
 
     return {"params": unflatten(out)}
+
+
+def sniff_mambair_config(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Derive MambaIR model kwargs from state-dict tensor shapes
+    (reference flexible loading: expert_loader.py:81-118).
+
+    d_state comes from A_logs [4*d_inner, d_state]; expand from
+    in_proj's 2*d_inner output vs embed_dim (dt_rank is derived, not
+    stored: ceil(embed_dim/16), matching mambair_arch.py:224).
+    """
+    embed_dim = int(sd["conv_first.weight"].shape[0])
+    layer_ids = sorted({int(k.split(".")[1]) for k in sd
+                        if k.startswith("layers.")})
+    depths = []
+    for i in layer_ids:
+        blocks = {int(k.split(".")[4]) for k in sd
+                  if k.startswith(f"layers.{i}.residual_group.blocks.")}
+        depths.append(1 + max(blocks))
+    a_logs = sd["layers.0.residual_group.blocks.0.self_attention.A_logs"]
+    d_state = int(a_logs.shape[1])
+    d_inner = int(a_logs.shape[0]) // 4
+    expand = d_inner / embed_dim
+    num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
+    n_up = sum(1 for k in sd
+               if k.startswith("upsample.") and k.endswith(".weight"))
+    return {
+        "embed_dim": embed_dim,
+        "depths": tuple(depths),
+        "d_state": d_state,
+        "mlp_ratio": expand,
+        "num_feat": num_feat,
+        "upscale": 2 ** n_up,
+    }

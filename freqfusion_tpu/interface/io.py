@@ -42,9 +42,27 @@ _TORCH_FILES = {
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
 
 
+def _sniff_config(name: str, sd) -> Optional[Dict[str, Any]]:
+    """Shape-derived model kwargs so checkpoints trained at a different
+    geometry (e.g. official DRCT-L mlp_ratio=2 vs the reference's 4) load
+    into a matching model instead of hard-failing (expert_loader.py:81-118
+    equivalent)."""
+    try:
+        if name == "drct":
+            from ..convert.drct import sniff_drct_config
+            return sniff_drct_config(sd)
+        if name == "mamba":
+            from ..convert.mambair import sniff_mambair_config
+            return sniff_mambair_config(sd)
+    except Exception as e:  # noqa: BLE001 — sniffing is best-effort
+        print(f"  ! {name} config sniff failed: {e}")
+    return None
+
+
 def _convert_torch(name: str, path: str) -> Optional[Dict[str, Any]]:
     from ..convert.common import load_torch_state_dict
     sd = load_torch_state_dict(path)
+    _convert_torch.last_sniffed = _sniff_config(name, sd)
     if name == "drct":
         from ..convert.drct import convert_drct
         return convert_drct(sd)
@@ -74,6 +92,7 @@ def _convert_torch(name: str, path: str) -> Optional[Dict[str, Any]]:
 
 def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
     params: Dict[str, Any] = {}
+    overrides: Dict[str, Dict[str, Any]] = {}
     mdir = Path(model_dir)
     for name in ("drct", "grl", "nafnet", "mamba", "fusion"):
         native = mdir / f"{name}.ckpt"
@@ -87,7 +106,11 @@ def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
                 print(f"  loaded {name} from {native.name}")
         elif torch_path.exists():
             try:
+                _convert_torch.last_sniffed = None
                 params[name] = _convert_torch(name, str(torch_path))
+                sniffed = _convert_torch.last_sniffed
+                if sniffed:
+                    overrides[name] = sniffed
                 if verbose:
                     print(f"  converted {name} from {torch_path.name}")
             except Exception as e:  # noqa: BLE001 — degrade like the reference
@@ -96,7 +119,7 @@ def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
             if verbose:
                 print(f"  ! {name} checkpoint not found "
                       f"({native.name} / {torch_path.name})")
-    return params
+    return params, overrides
 
 
 def load_pipeline(model_dir: str, scale: int = 4,
@@ -111,7 +134,7 @@ def load_pipeline(model_dir: str, scale: int = 4,
 
     expert_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
         os.environ.get("FREQFUSION_EXPERT_DTYPE", "").lower())
-    params = _load_params(model_dir, verbose)
+    params, overrides = _load_params(model_dir, verbose)
     if "fusion" not in params and init_missing_fusion:
         # Random fusion weights (warned, like train.py:739)
         import jax
@@ -128,7 +151,8 @@ def load_pipeline(model_dir: str, scale: int = 4,
                                       jnp.zeros((1, h, w, 3)),
                                       mock_imgs, mock_feats)
     return FreqFusionPipeline(params, scale=scale, jit_mode=jit_mode,
-                              use_scan=use_scan, expert_dtype=expert_dtype)
+                              use_scan=use_scan, expert_dtype=expert_dtype,
+                              model_overrides=overrides or None)
 
 
 def main(model_dir: str, input_path: str, output_path: str,

@@ -154,6 +154,7 @@ class RDG(nn.Module):
     num_heads: int
     window_size: int
     gc: int = 32
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -163,7 +164,10 @@ class RDG(nn.Module):
         def block(k: int, feats: jnp.ndarray) -> jnp.ndarray:
             bdim = d + k * g
             heads = nh - (bdim % nh)
-            mlp_ratio = 4.0 if k < 3 else 1.0
+            # swin1-3 take the config ratio, swin4/5 are pinned to 1
+            # (drct_arch.py:233-273); the official DRCT-L_X4 release uses
+            # mlp_ratio=2 where the reference instantiates 4.
+            mlp_ratio = self.mlp_ratio if k < 3 else 1.0
             out = SwinTransformerBlock(
                 bdim, heads, ws, shift if k % 2 == 1 else 0, mlp_ratio,
                 name=f"swin{k + 1}")(feats)
@@ -196,6 +200,7 @@ class DRCT(nn.Module):
     num_heads: int = 6
     window_size: int = 16
     gc: int = 32
+    mlp_ratio: float = 4.0
     img_range: float = 1.0
     num_feat: int = 64
     use_scan: bool = False
@@ -217,23 +222,24 @@ class DRCT(nn.Module):
                 heads: int
                 ws: int
                 gc: int
+                mlp_ratio: float
 
                 @nn.compact
                 def __call__(self, carry, _):
                     out = RDG(self.dim, self.heads, self.ws, self.gc,
-                              name="rdg")(carry)
+                              self.mlp_ratio, name="rdg")(carry)
                     return out, None
 
             scanned = nn.scan(
                 _Body, variable_axes={"params": 0},
                 split_rngs={"params": True}, length=self.num_layers)(
                 self.embed_dim, self.num_heads, self.window_size, self.gc,
-                name="layers")
+                self.mlp_ratio, name="layers")
             tokens, _ = scanned(tokens, None)
         else:
             for i in range(self.num_layers):
                 tokens = RDG(self.embed_dim, self.num_heads,
-                             self.window_size, self.gc,
+                             self.window_size, self.gc, self.mlp_ratio,
                              name=f"layers_{i}")(tokens)
         tokens = nn.LayerNorm(epsilon=1e-5, name="norm")(tokens)
 

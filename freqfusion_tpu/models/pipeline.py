@@ -36,25 +36,42 @@ GRL_DEPTHS = (4, 4, 8, 8, 8, 4, 4)
 
 
 def build_expert_models(scale: int = 4, scan_chunk: int = 512,
-                        use_scan: bool = False) -> Dict[str, Any]:
+                        use_scan: bool = False,
+                        overrides: Optional[Dict[str, Dict[str, Any]]] = None,
+                        ) -> Dict[str, Any]:
     """The four frozen experts in their challenge configurations
     (expert_loader.py:252-262, 286-338; io.py:156-163).
 
     use_scan=True runs repeated layer groups under nn.scan with stacked
     params (~10x smaller HLO / compile time; identical outputs — see
-    tests/test_drct_scan.py, tests/test_scan_variants.py)."""
-    return {
-        "drct": DRCT(upscale=scale, embed_dim=180, num_layers=12,
+    tests/test_drct_scan.py, tests/test_scan_variants.py).
+
+    overrides: per-expert kwargs sniffed from a checkpoint's tensor shapes
+    (convert.drct.sniff_drct_config etc.) — the TPU-native answer to the
+    reference's shape-filtered flexible loading (expert_loader.py:81-118):
+    adapt the model geometry to the weights instead of dropping tensors."""
+    ov = overrides or {}
+    cfg = {
+        "drct": dict(upscale=scale, embed_dim=180, num_layers=12,
                      num_heads=6, window_size=16, use_scan=use_scan),
-        "grl": GRL(upscale=scale, embed_dim=180,
-                   depths=GRL_DEPTHS, num_heads_w=3,
-                   num_heads_s=3, window_size=8, use_scan=use_scan),
-        "nafnet": NAFNetSR(upscale=scale, width=64, middle_blk_num=12,
-                           enc_blk_nums=(2, 2, 4, 8),
-                           dec_blk_nums=(2, 2, 2, 2)),
-        "mamba": MambaIR(upscale=scale, embed_dim=180,
-                         depths=(6,) * 6, mlp_ratio=2.0,
-                         scan_chunk=scan_chunk, use_scan=use_scan),
+        "grl": dict(upscale=scale, embed_dim=180,
+                    depths=GRL_DEPTHS, num_heads_w=3,
+                    num_heads_s=3, window_size=8, use_scan=use_scan),
+        "nafnet": dict(upscale=scale, width=64, middle_blk_num=12,
+                       enc_blk_nums=(2, 2, 4, 8),
+                       dec_blk_nums=(2, 2, 2, 2)),
+        "mamba": dict(upscale=scale, embed_dim=180,
+                      depths=(6,) * 6, mlp_ratio=2.0,
+                      scan_chunk=scan_chunk, use_scan=use_scan),
+    }
+    for name, kw in ov.items():
+        if name in cfg:
+            cfg[name].update(kw)
+    return {
+        "drct": DRCT(**cfg["drct"]),
+        "grl": GRL(**cfg["grl"]),
+        "nafnet": NAFNetSR(**cfg["nafnet"]),
+        "mamba": MambaIR(**cfg["mamba"]),
     }
 
 
@@ -88,7 +105,8 @@ class FreqFusionPipeline:
     def __init__(self, params: Dict[str, Any], scale: int = 4,
                  fusion_model: Optional[CompleteEnhancedFusionSR] = None,
                  scan_chunk: int = 512, jit_mode: str = "per_expert",
-                 expert_dtype=None, use_scan: bool = False):
+                 expert_dtype=None, use_scan: bool = False,
+                 model_overrides: Optional[Dict[str, Dict[str, Any]]] = None):
         """jit_mode: 'full' compiles experts+fusion as ONE XLA program
         (maximum fusion); 'per_expert' compiles one program per expert plus
         one for the fusion net — smaller compile units (and the only mode
@@ -112,7 +130,8 @@ class FreqFusionPipeline:
         self.jit_mode = jit_mode
         self.expert_dtype = expert_dtype
         self.models = build_expert_models(scale, scan_chunk,
-                                          use_scan=use_scan)
+                                          use_scan=use_scan,
+                                          overrides=model_overrides)
         self.fusion = fusion_model or CompleteEnhancedFusionSR(upscale=scale)
         self._jit_full = jax.jit(self._forward_full)
         self._jit_experts = jax.jit(self._run_experts_padded)
