@@ -263,6 +263,25 @@ def selective_scan_pallas(u: jnp.ndarray,
 # group carries in a short sequential loop.
 
 
+def _build_ag_bg(delta, du, bb, a2, d: int, n: int):
+    """ag = exp(delta ⊗ A), bg = delta·u ⊗ B in the n-major lane-flattened
+    layout (index n*D + d), built slice-wise so the replicated dt/du/B
+    intermediates are never materialized (the broadcasts fuse into the
+    muls). A comes in as [n, d] — row slices are lane-offset-0 so their
+    row-broadcast is a layout Mosaic accepts (broadcasting a slice of the
+    flat [1, n*d] at lane offset i*d % 128 != 0 is rejected: "Invalid
+    input layout"). Mosaic also rejects [t, D, N] -> [t, D*N] reshapes;
+    static concats stand in."""
+    t = delta.shape[0]
+    ag = jnp.exp(jnp.concatenate(
+        [delta * jnp.broadcast_to(a2[i: i + 1, :], (t, d))
+         for i in range(n)], axis=1))
+    bg = jnp.concatenate(
+        [du * jnp.broadcast_to(bb[:, i: i + 1], (t, d))
+         for i in range(n)], axis=1)
+    return ag, bg
+
+
 def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
                     y_ref, h_ref, *, d: int, n: int, inner: int = 8):
     t = u_ref.shape[2]
@@ -281,17 +300,7 @@ def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
     bb = b_ref[0, 0].astype(jnp.float32)                   # [t, N]
     cc = c_ref[0, 0].astype(jnp.float32)
 
-    # n-major lane flattening (index n*D + d) via static concats — Mosaic
-    # rejects [t, D, N] -> [t, D*N] reshapes.
-    dt_rep = jnp.concatenate([delta] * n, axis=1)          # [t, N*D]
-    du_rep = jnp.concatenate([du] * n, axis=1)
-    b_rep = jnp.concatenate(
-        [jnp.broadcast_to(bb[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
-    c_rep = jnp.concatenate(
-        [jnp.broadcast_to(cc[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
-
-    ag = jnp.exp(dt_rep * a_ref[0])                        # [t, N*D]
-    bg = du_rep * b_rep
+    ag, bg = _build_ag_bg(delta, du, bb, a_ref[0], d, n)    # [t, N*D]
     s = 1
     while s < R:
         a_prev = pltpu.roll(ag, s, axis=0)
@@ -303,20 +312,21 @@ def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
         ag = ag * a_prev
         s *= 2
 
+    # Stitch group carries and contract over the state axis in one pass —
+    # the full [t, N*D] hidden-state array is never re-materialized.
     carry = h_ref[:]
-    pieces = []
+    ypieces = []
     for g in range(t // R):
         sl = slice(g * R, (g + 1) * R)
         hg = ag[sl] * carry + bg[sl]
         carry = hg[R - 1:]
-        pieces.append(hg)
+        yg = hg[:, :d] * jnp.broadcast_to(cc[sl, 0:1], (R, d))
+        for i in range(1, n):
+            yg = yg + (hg[:, i * d: (i + 1) * d]
+                       * jnp.broadcast_to(cc[sl, i: i + 1], (R, d)))
+        ypieces.append(yg)
     h_ref[:] = carry
-    h = jnp.concatenate(pieces, axis=0)                    # [t, N*D]
-
-    z = h * c_rep
-    y = z[:, :d]
-    for i in range(1, n):
-        y = y + z[:, i * d: (i + 1) * d]
+    y = jnp.concatenate(ypieces, axis=0)                   # [t, D]
     y_ref[0, 0] = y + u * dskip_ref[0]
 
 
@@ -349,30 +359,31 @@ def selective_scan_pallas_dirs(u: jnp.ndarray,
         pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
         u, delta, B, C = (jnp.pad(x, pad) for x in (u, delta, B, C))
 
-    # per-direction n-major flatten: A[k, d, n] -> [k, 1, n*D] (the unit
-    # middle axis keeps the VMEM block 2D-tileable: Mosaic requires the
-    # trailing block dims to divide (8, 128) or equal the array dims)
-    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(k, 1, d * n)
+    # per-direction A as [k, n, d]: each state row is a lane-aligned
+    # [1, d] slice inside the kernel (see _build_ag_bg layout note)
+    a_rows = A.astype(jnp.float32).transpose(0, 2, 1)
 
     def blk(feat):
         return pl.BlockSpec((1, 1, chunk, feat),
                             lambda ki, bi, j: (ki, bi, j, 0),
                             memory_space=pltpu.VMEM)
 
-    def per_dir(feat):
-        return pl.BlockSpec((1, 1, feat), lambda ki, bi, j: (ki, 0, 0),
+    def per_dir(*feat):
+        nd = len(feat) + 1
+        return pl.BlockSpec((1,) + feat,
+                            lambda ki, bi, j, _n=nd: (ki,) + (0,) * (_n - 1),
                             memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
         functools.partial(_ss_dirs_kernel, d=d, n=n, inner=inner),
         grid=(k, b, num_chunks),
         in_specs=[blk(d), blk(d), blk(n), blk(n),
-                  per_dir(d * n), per_dir(d), per_dir(d)],
+                  per_dir(n, d), per_dir(1, d), per_dir(1, d)],
         out_specs=blk(d),
         out_shape=jax.ShapeDtypeStruct((k, b, lp, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
         interpret=interpret,
-    )(u, delta, B, C, a_flat,
+    )(u, delta, B, C, a_rows,
       D.astype(jnp.float32).reshape(k, 1, d),
       delta_bias.astype(jnp.float32).reshape(k, 1, d))
     return y[:, :, :l]
@@ -409,15 +420,7 @@ def _ss_dirs_kernel_rev(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref,
     bb = b_ref[0, 0].astype(jnp.float32)
     cc = c_ref[0, 0].astype(jnp.float32)
 
-    dt_rep = jnp.concatenate([delta] * n, axis=1)
-    du_rep = jnp.concatenate([du] * n, axis=1)
-    b_rep = jnp.concatenate(
-        [jnp.broadcast_to(bb[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
-    c_rep = jnp.concatenate(
-        [jnp.broadcast_to(cc[:, i: i + 1], (t, d)) for i in range(n)], axis=1)
-
-    ag = jnp.exp(dt_rep * a_ref[0])
-    bg = du_rep * b_rep
+    ag, bg = _build_ag_bg(delta, du, bb, a_ref[0], d, n)
     s = 1
     while s < R:
         # suffix combine: segment [r, r+s) absorbs [r+s, r+2s)
@@ -431,19 +434,18 @@ def _ss_dirs_kernel_rev(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref,
         s *= 2
 
     carry = h_ref[:]
-    pieces = []
+    ypieces = []
     for g in range(t // R - 1, -1, -1):
         sl = slice(g * R, (g + 1) * R)
         hg = ag[sl] * carry + bg[sl]
         carry = hg[0:1]
-        pieces.append(hg)
+        yg = hg[:, :d] * jnp.broadcast_to(cc[sl, 0:1], (R, d))
+        for i in range(1, n):
+            yg = yg + (hg[:, i * d: (i + 1) * d]
+                       * jnp.broadcast_to(cc[sl, i: i + 1], (R, d)))
+        ypieces.append(yg)
     h_ref[:] = carry
-    h = jnp.concatenate(pieces[::-1], axis=0)
-
-    z = h * c_rep
-    y = z[:, :d]
-    for i in range(1, n):
-        y = y + z[:, i * d: (i + 1) * d]
+    y = jnp.concatenate(ypieces[::-1], axis=0)
     y_ref[0, 0] = y + u * dskip_ref[0]
 
 
@@ -480,7 +482,7 @@ def selective_scan_pallas_bidir(u: jnp.ndarray,
         u = jnp.pad(u, pad)
         delta, B, C = (jnp.pad(x, pad) for x in (delta, B, C))
 
-    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(4, 1, d * n)
+    a_rows = A.astype(jnp.float32).transpose(0, 2, 1)   # [4, n, d]
     dskip = D.astype(jnp.float32).reshape(4, 1, d)
     bias = delta_bias.astype(jnp.float32).reshape(4, 1, d)
 
@@ -495,17 +497,18 @@ def selective_scan_pallas_bidir(u: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
 
         def per_dir(arr):
-            return pl.BlockSpec((1, 1, arr.shape[-1]),
-                                lambda ki, bi, j: (ki, 0, 0),
+            shape = arr.shape[1:]
+            return pl.BlockSpec((1,) + shape,
+                                lambda ki, bi, j, _n=len(shape): (ki,) + (0,) * _n,
                                 memory_space=pltpu.VMEM)
 
         sl = slice(dir_idx, dir_idx + 2)
-        args = (u, delta[sl], B[sl], C[sl], a_flat[sl], dskip[sl], bias[sl])
+        args = (u, delta[sl], B[sl], C[sl], a_rows[sl], dskip[sl], bias[sl])
         return pl.pallas_call(
             functools.partial(kernel, d=d, n=n, inner=inner),
             grid=(2, b, num_chunks),
             in_specs=[blk(d), blk(d), blk(n), blk(n),
-                      per_dir(a_flat), per_dir(dskip), per_dir(bias)],
+                      per_dir(a_rows), per_dir(dskip), per_dir(bias)],
             out_specs=blk(d),
             out_shape=jax.ShapeDtypeStruct((2, b, lp, d), jnp.float32),
             scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],

@@ -85,6 +85,40 @@ def psnr_ssim(sr: jnp.ndarray, hr: jnp.ndarray, crop_border: int = 4,
             ssim(sr, hr, crop_border, test_y_channel))
 
 
+def psnr_ssim_per_image(sr: jnp.ndarray, hr: jnp.ndarray,
+                        crop_border: int = 4,
+                        test_y_channel: bool = True,
+                        window_size: int = 11):
+    """Per-image PSNR/SSIM over a batch — ONE jitted program evaluates a
+    whole shape bucket (the reference's per-GPU mp.Process sharding,
+    eval.py:189-210, becomes a batch axis)."""
+    img1, img2 = _prep(sr, hr, crop_border, test_y_channel)
+    mse = jnp.mean((img1 - img2) ** 2, axis=(1, 2, 3))
+    p = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-10))
+
+    c = img1.shape[-1]
+    win = _gaussian_window(window_size)
+    kernel = jnp.tile(win[:, :, None, None], (1, 1, 1, c))
+
+    def blur(x):
+        return jax.lax.conv_general_dilated(
+            x.astype(jnp.float32), kernel,
+            window_strides=(1, 1),
+            padding=[(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    mu1, mu2 = blur(img1), blur(img2)
+    sigma1_sq = blur(img1 * img1) - mu1 * mu1
+    sigma2_sq = blur(img2 * img2) - mu2 * mu2
+    sigma12 = blur(img1 * img2) - mu1 * mu2
+    ssim_map = ((2 * mu1 * mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1 * mu1 + mu2 * mu2 + c1) * (sigma1_sq + sigma2_sq + c2))
+    return p, ssim_map.mean(axis=(1, 2, 3))
+
+
 class MetricAccumulator:
     """Running averages over a validation epoch (host-side)."""
 
