@@ -166,6 +166,21 @@ class CheckpointConfig:
     mode: str = "max"
 
 
+@dataclass(frozen=True)
+class TSDSRConfig:
+    """TSD-SR refiner gate (reference train_config.yaml:85-92) — enabled
+    but use_during_training: false in the reference recipe; the submission
+    path mocks it out (io.py:45-54)."""
+
+    enabled: bool = True
+    use_during_training: bool = False
+    student_path: str = "pretrained/tsdsr/transformer.safetensors"
+    teacher_path: str = "pretrained/teacher/teacher.safetensors"
+    vae_path: str = "pretrained/tsdsr/vae.safetensors"
+    inference_steps: int = 1
+    use_teacher_for_validation: bool = False
+
+
 def _default_experts() -> Tuple[ExpertConfig, ...]:
     return (
         ExpertConfig("DRCT", architecture={
@@ -195,6 +210,7 @@ class Config:
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     validation: ValidationConfig = field(default_factory=ValidationConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    tsdsr: TSDSRConfig = field(default_factory=TSDSRConfig)
 
 
 def default_config() -> Config:
@@ -331,6 +347,20 @@ def load_config(path: str) -> Config:
         mode=ck.get("mode", "max"),
     )
 
+    ts = raw.get("tsdsr", {}) or {}
+    tsdsr = TSDSRConfig(
+        enabled=ts.get("enabled", True),
+        use_during_training=ts.get("use_during_training", False),
+        student_path=ts.get("student_path",
+                            "pretrained/tsdsr/transformer.safetensors"),
+        teacher_path=ts.get("teacher_path",
+                            "pretrained/teacher/teacher.safetensors"),
+        vae_path=ts.get("vae_path", "pretrained/tsdsr/vae.safetensors"),
+        inference_steps=ts.get("inference_steps", 1),
+        use_teacher_for_validation=ts.get("use_teacher_for_validation",
+                                          False),
+    )
+
     return Config(
         experiment_name=raw.get("experiment_name", "freqfusion_tpu"),
         scale=_get(raw, "model", "scale", default=4),
@@ -342,4 +372,5 @@ def load_config(path: str) -> Config:
         dataset=dataset,
         validation=validation,
         checkpoint=checkpoint,
+        tsdsr=tsdsr,
     )

@@ -155,11 +155,43 @@ def load_pipeline(model_dir: str, scale: int = 4,
                               model_overrides=overrides or None)
 
 
+def _load_tsdsr_refiner(model_dir: str):
+    """Optional TSD-SR perceptual refiner. The reference's submission
+    path mocks the whole module out (io.py:45-54); ours mirrors that
+    default and only activates when FREQFUSION_TSDSR=1 AND both weight
+    files exist in model_dir (tsdsr_dit.pth + tsdsr_vae.pth, or
+    .safetensors)."""
+    from ..models.tsdsr import TSDSRRefiner
+
+    if os.environ.get("FREQFUSION_TSDSR", "0") in ("0", "false", ""):
+        return TSDSRRefiner(enabled=False)
+    mdir = Path(model_dir)
+    dit_p = vae_p = None
+    for ext in (".pth", ".safetensors", ".pt"):
+        if (mdir / f"tsdsr_dit{ext}").exists():
+            dit_p = mdir / f"tsdsr_dit{ext}"
+        if (mdir / f"tsdsr_vae{ext}").exists():
+            vae_p = mdir / f"tsdsr_vae{ext}"
+    if dit_p is None or vae_p is None:
+        return TSDSRRefiner(enabled=True)  # warns + identity
+    try:
+        from ..convert.common import load_torch_state_dict
+        from ..convert.tsdsr import convert_sd_vae, convert_tsdsr_dit
+        dit_params = convert_tsdsr_dit(load_torch_state_dict(str(dit_p)))
+        vae_params = convert_sd_vae(load_torch_state_dict(str(vae_p)))
+        return TSDSRRefiner(enabled=True, dit_params=dit_params,
+                            vae_params=vae_params)
+    except Exception as e:  # noqa: BLE001 — degrade like the reference
+        print(f"  ! TSD-SR conversion failed: {e}")
+        return TSDSRRefiner(enabled=True)
+
+
 def main(model_dir: str, input_path: str, output_path: str,
          device=None) -> None:
     """NTIRE challenge ABI (reference io.py:295-347)."""
     os.makedirs(output_path, exist_ok=True)
     pipeline = load_pipeline(model_dir)
+    refiner = _load_tsdsr_refiner(model_dir)
 
     files = sorted(p for p in Path(input_path).iterdir()
                    if p.suffix.lower() in _IMG_EXTS)
@@ -167,7 +199,10 @@ def main(model_dir: str, input_path: str, output_path: str,
     for i, path in enumerate(files):
         t0 = time.perf_counter()
         lr = read_image(str(path))[None]          # [1, H, W, 3]
-        sr = np.asarray(pipeline(jnp.asarray(lr))[0])
+        sr_b = pipeline(jnp.asarray(lr))
+        if refiner.enabled:
+            sr_b = refiner(sr_b)
+        sr = np.asarray(sr_b[0])
         out_file = Path(output_path) / f"{path.stem}.png"
         write_image(str(out_file), sr)
         print(f"  [{i + 1}/{len(files)}] {path.name} "

@@ -255,31 +255,62 @@ def selective_scan_pallas(u: jnp.ndarray,
 # SS2D runs FOUR independent scans per layer (row/col major + reversals,
 # mambair_arch.py:339-369). v1 dispatched one pallas_call per direction
 # (144 per image through MambaIR); here the direction axis joins the grid,
-# with per-direction A/D/dt_bias streamed via index maps. The in-chunk scan
-# also changes shape: v1 looped 16 sequential [R, N*D] group scans per
-# chunk; v2 runs the Hillis-Steele passes on the FULL [chunk, N*D] block
-# with row%R masks (identical element count, 16x fewer instruction issues
-# and no inter-group serialization through the scan passes), then stitches
-# group carries in a short sequential loop.
+# with per-direction A/D/dt_bias streamed via index maps. The in-chunk
+# compute keeps v1's per-group structure (everything at [R, N*D]): peak
+# VMEM stays a few hundred KB per group, which measured faster than
+# full-chunk-width [chunk, N*D] passes (those keep ~6 fp32 arrays of
+# 2.9 MB live; measured 2.8 s vs 2.5 s per image in-model) and lets the
+# grid chunk grow to 512+ rows for fewer sequential grid steps.
 
 
-def _build_ag_bg(delta, du, bb, a2, d: int, n: int):
-    """ag = exp(delta ⊗ A), bg = delta·u ⊗ B in the n-major lane-flattened
-    layout (index n*D + d), built slice-wise so the replicated dt/du/B
-    intermediates are never materialized (the broadcasts fuse into the
-    muls). A comes in as [n, d] — row slices are lane-offset-0 so their
-    row-broadcast is a layout Mosaic accepts (broadcasting a slice of the
-    flat [1, n*d] at lane offset i*d % 128 != 0 is rejected: "Invalid
-    input layout"). Mosaic also rejects [t, D, N] -> [t, D*N] reshapes;
-    static concats stand in."""
-    t = delta.shape[0]
-    ag = jnp.exp(jnp.concatenate(
-        [delta * jnp.broadcast_to(a2[i: i + 1, :], (t, d))
-         for i in range(n)], axis=1))
-    bg = jnp.concatenate(
-        [du * jnp.broadcast_to(bb[:, i: i + 1], (t, d))
-         for i in range(n)], axis=1)
-    return ag, bg
+def _ss_group(u_g, dt_g, bb, cc, a_row, dskip, bias, carry, *,
+              d: int, n: int, reverse: bool):
+    """One R-row group: build, Hillis-Steele combine, carry stitch,
+    output contraction. carry is [1, N*D]; returns (y_g [R, D], carry')."""
+    R = u_g.shape[0]
+    u_g = u_g.astype(jnp.float32)
+    delta_g = jax.nn.softplus(dt_g.astype(jnp.float32) + bias)
+    du_g = delta_g * u_g
+    bb = bb.astype(jnp.float32)
+    cc = cc.astype(jnp.float32)
+
+    # n-major lane flattening (index n*D + d) via static concats — Mosaic
+    # rejects [R, D, N] -> [R, D*N] reshapes.
+    dt_rep = jnp.concatenate([delta_g] * n, axis=1)          # [R, N*D]
+    du_rep = jnp.concatenate([du_g] * n, axis=1)
+    b_rep = jnp.concatenate(
+        [jnp.broadcast_to(bb[:, i: i + 1], (R, d)) for i in range(n)], axis=1)
+    c_rep = jnp.concatenate(
+        [jnp.broadcast_to(cc[:, i: i + 1], (R, d)) for i in range(n)], axis=1)
+
+    ag = jnp.exp(dt_rep * a_row)                             # [R, N*D]
+    bg = du_rep * b_rep
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    s = 1
+    while s < R:
+        if reverse:
+            # suffix combine: row r absorbs row r+s
+            a_o = pltpu.roll(ag, R - s, axis=0)
+            b_o = pltpu.roll(bg, R - s, axis=0)
+            valid = row <= R - 1 - s
+        else:
+            a_o = pltpu.roll(ag, s, axis=0)
+            b_o = pltpu.roll(bg, s, axis=0)
+            valid = row >= s
+        a_o = jnp.where(valid, a_o, 1.0)
+        b_o = jnp.where(valid, b_o, 0.0)
+        bg = ag * b_o + bg
+        ag = ag * a_o
+        s *= 2
+
+    hg = ag * carry + bg
+    carry = hg[0:1] if reverse else hg[R - 1:]
+
+    z = hg * c_rep
+    y = z[:, :d]
+    for i in range(1, n):
+        y = y + z[:, i * d: (i + 1) * d]                    # [R, D]
+    return y + u_g * dskip, carry
 
 
 def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
@@ -292,42 +323,15 @@ def _ss_dirs_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
         h_ref[:] = jnp.zeros_like(h_ref)
 
     R = min(inner, t)
-    rowmod = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % R
-
-    u = u_ref[0, 0].astype(jnp.float32)                    # [t, D]
-    delta = jax.nn.softplus(dt_ref[0, 0].astype(jnp.float32) + bias_ref[0])
-    du = delta * u
-    bb = b_ref[0, 0].astype(jnp.float32)                   # [t, N]
-    cc = c_ref[0, 0].astype(jnp.float32)
-
-    ag, bg = _build_ag_bg(delta, du, bb, a_ref[0], d, n)    # [t, N*D]
-    s = 1
-    while s < R:
-        a_prev = pltpu.roll(ag, s, axis=0)
-        b_prev = pltpu.roll(bg, s, axis=0)
-        valid = rowmod >= s
-        a_prev = jnp.where(valid, a_prev, 1.0)
-        b_prev = jnp.where(valid, b_prev, 0.0)
-        bg = ag * b_prev + bg
-        ag = ag * a_prev
-        s *= 2
-
-    # Stitch group carries and contract over the state axis in one pass —
-    # the full [t, N*D] hidden-state array is never re-materialized.
     carry = h_ref[:]
-    ypieces = []
     for g in range(t // R):
         sl = slice(g * R, (g + 1) * R)
-        hg = ag[sl] * carry + bg[sl]
-        carry = hg[R - 1:]
-        yg = hg[:, :d] * jnp.broadcast_to(cc[sl, 0:1], (R, d))
-        for i in range(1, n):
-            yg = yg + (hg[:, i * d: (i + 1) * d]
-                       * jnp.broadcast_to(cc[sl, i: i + 1], (R, d)))
-        ypieces.append(yg)
+        y, carry = _ss_group(
+            u_ref[0, 0, sl], dt_ref[0, 0, sl], b_ref[0, 0, sl],
+            c_ref[0, 0, sl], a_ref[0], dskip_ref[0], bias_ref[0], carry,
+            d=d, n=n, reverse=False)
+        y_ref[0, 0, sl] = y
     h_ref[:] = carry
-    y = jnp.concatenate(ypieces, axis=0)                   # [t, D]
-    y_ref[0, 0] = y + u * dskip_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "inner", "interpret"))
@@ -359,9 +363,9 @@ def selective_scan_pallas_dirs(u: jnp.ndarray,
         pad = [(0, 0), (0, 0), (0, lp - l), (0, 0)]
         u, delta, B, C = (jnp.pad(x, pad) for x in (u, delta, B, C))
 
-    # per-direction A as [k, n, d]: each state row is a lane-aligned
-    # [1, d] slice inside the kernel (see _build_ag_bg layout note)
-    a_rows = A.astype(jnp.float32).transpose(0, 2, 1)
+    # per-direction n-major flatten: A[k, d, n] -> [k, 1, n*D] (the unit
+    # middle axis keeps the VMEM block 2D-tileable)
+    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(k, 1, d * n)
 
     def blk(feat):
         return pl.BlockSpec((1, 1, chunk, feat),
@@ -378,12 +382,12 @@ def selective_scan_pallas_dirs(u: jnp.ndarray,
         functools.partial(_ss_dirs_kernel, d=d, n=n, inner=inner),
         grid=(k, b, num_chunks),
         in_specs=[blk(d), blk(d), blk(n), blk(n),
-                  per_dir(n, d), per_dir(1, d), per_dir(1, d)],
+                  per_dir(1, d * n), per_dir(1, d), per_dir(1, d)],
         out_specs=blk(d),
         out_shape=jax.ShapeDtypeStruct((k, b, lp, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
         interpret=interpret,
-    )(u, delta, B, C, a_rows,
+    )(u, delta, B, C, a_flat,
       D.astype(jnp.float32).reshape(k, 1, d),
       delta_bias.astype(jnp.float32).reshape(k, 1, d))
     return y[:, :, :l]
@@ -412,41 +416,15 @@ def _ss_dirs_kernel_rev(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref,
         h_ref[:] = jnp.zeros_like(h_ref)
 
     R = min(inner, t)
-    rowmod = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % R
-
-    u = u_ref[0, 0].astype(jnp.float32)
-    delta = jax.nn.softplus(dt_ref[0, 0].astype(jnp.float32) + bias_ref[0])
-    du = delta * u
-    bb = b_ref[0, 0].astype(jnp.float32)
-    cc = c_ref[0, 0].astype(jnp.float32)
-
-    ag, bg = _build_ag_bg(delta, du, bb, a_ref[0], d, n)
-    s = 1
-    while s < R:
-        # suffix combine: segment [r, r+s) absorbs [r+s, r+2s)
-        a_next = pltpu.roll(ag, t - s, axis=0)
-        b_next = pltpu.roll(bg, t - s, axis=0)
-        valid = rowmod <= R - 1 - s
-        a_next = jnp.where(valid, a_next, 1.0)
-        b_next = jnp.where(valid, b_next, 0.0)
-        bg = ag * b_next + bg
-        ag = ag * a_next
-        s *= 2
-
     carry = h_ref[:]
-    ypieces = []
     for g in range(t // R - 1, -1, -1):
         sl = slice(g * R, (g + 1) * R)
-        hg = ag[sl] * carry + bg[sl]
-        carry = hg[0:1]
-        yg = hg[:, :d] * jnp.broadcast_to(cc[sl, 0:1], (R, d))
-        for i in range(1, n):
-            yg = yg + (hg[:, i * d: (i + 1) * d]
-                       * jnp.broadcast_to(cc[sl, i: i + 1], (R, d)))
-        ypieces.append(yg)
+        y, carry = _ss_group(
+            u_ref[0, 0, sl], dt_ref[0, 0, sl], b_ref[0, 0, sl],
+            c_ref[0, 0, sl], a_ref[0], dskip_ref[0], bias_ref[0], carry,
+            d=d, n=n, reverse=True)
+        y_ref[0, 0, sl] = y
     h_ref[:] = carry
-    y = jnp.concatenate(ypieces[::-1], axis=0)
-    y_ref[0, 0] = y + u * dskip_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "inner", "interpret"))
@@ -482,7 +460,7 @@ def selective_scan_pallas_bidir(u: jnp.ndarray,
         u = jnp.pad(u, pad)
         delta, B, C = (jnp.pad(x, pad) for x in (delta, B, C))
 
-    a_rows = A.astype(jnp.float32).transpose(0, 2, 1)   # [4, n, d]
+    a_flat = A.astype(jnp.float32).transpose(0, 2, 1).reshape(4, 1, d * n)
     dskip = D.astype(jnp.float32).reshape(4, 1, d)
     bias = delta_bias.astype(jnp.float32).reshape(4, 1, d)
 
@@ -503,12 +481,12 @@ def selective_scan_pallas_bidir(u: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
 
         sl = slice(dir_idx, dir_idx + 2)
-        args = (u, delta[sl], B[sl], C[sl], a_rows[sl], dskip[sl], bias[sl])
+        args = (u, delta[sl], B[sl], C[sl], a_flat[sl], dskip[sl], bias[sl])
         return pl.pallas_call(
             functools.partial(kernel, d=d, n=n, inner=inner),
             grid=(2, b, num_chunks),
             in_specs=[blk(d), blk(d), blk(n), blk(n),
-                      per_dir(a_rows), per_dir(dskip), per_dir(bias)],
+                      per_dir(a_flat), per_dir(dskip), per_dir(bias)],
             out_specs=blk(d),
             out_shape=jax.ShapeDtypeStruct((2, b, lp, d), jnp.float32),
             scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
