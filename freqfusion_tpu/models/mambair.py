@@ -111,7 +111,7 @@ class SS2D(nn.Module):
             y_fwd, y_bwd = selective_scan_pallas_bidir(
                 xs2, dts, A, x_dbl[..., dt_rank: dt_rank + n],
                 x_dbl[..., dt_rank + n:], Dsk, dt_projs_bias,
-                chunk=self.scan_chunk)
+                chunk=min(self.scan_chunk, 128))
             # All four outputs already in natural order.
             ys = (y_fwd[0], y_fwd[1], y_bwd[0], y_bwd[1])
         else:
