@@ -1,0 +1,72 @@
+"""CLIP threshold loss: pure threshold math + gated builder contract
+(perceptual_loss.py:856-989 semantics; the clip package is absent in this
+environment, so the builder is exercised against an injected stand-in
+backbone with the real interface)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from freqfusion_tpu.losses.perceptual import (  # noqa: E402
+    clip_loss_fn, clip_threshold_loss,
+)
+
+
+def test_threshold_math():
+    # quality 0.75 > 0.5 + margin -> zero loss
+    assert float(clip_threshold_loss(jnp.asarray([0.6]),
+                                     jnp.asarray([0.1]), 0.5)) == 0.0
+    # quality 0.45 -> penalty 0.5 - 0.45 + 0.1 = 0.15
+    got = float(clip_threshold_loss(jnp.asarray([0.0]),
+                                    jnp.asarray([0.1]), 0.5))
+    assert abs(got - 0.15) < 1e-6
+    # batch mean
+    got = float(clip_threshold_loss(jnp.asarray([0.6, 0.0]),
+                                    jnp.asarray([0.1, 0.1]), 0.5))
+    assert abs(got - 0.075) < 1e-6
+
+
+def test_clip_loss_none_without_package(monkeypatch):
+    monkeypatch.setitem(sys.modules, "clip", None)  # import -> error
+    assert clip_loss_fn() is None
+
+
+def test_clip_loss_with_injected_backbone(monkeypatch):
+    class _Model:
+        dim = 16
+
+        def eval(self):
+            return self
+
+        def encode_text(self, tokens):
+            torch.manual_seed(0)
+            return torch.randn(tokens.shape[0], self.dim)
+
+        def encode_image(self, imgs):
+            # deterministic, image-dependent features
+            b = imgs.shape[0]
+            pooled = imgs.mean(dim=(2, 3))          # [B, 3]
+            return pooled.repeat(1, 6)[:, : self.dim] + 0.1
+
+    fake = types.ModuleType("clip")
+    fake.load = lambda name, device="cpu": (_Model(), None)
+    fake.tokenize = lambda prompts: torch.zeros(len(prompts), 77,
+                                                dtype=torch.long)
+    monkeypatch.setitem(sys.modules, "clip", fake)
+
+    fn = clip_loss_fn(threshold=0.5)
+    assert fn is not None
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    loss = fn(pred)
+    assert loss.shape == ()
+    assert np.isfinite(float(loss))
+    # deterministic
+    assert float(fn(pred)) == float(loss)
