@@ -7,8 +7,14 @@ program on a DIV2K-val-class LR shape, and reports ONE JSON line:
 
 vs_baseline is against BASELINE.json's >= 5 MP/s/chip target. Weights are
 random (the reference publishes no checkpoints in-repo); throughput is
-weight-independent. Set BENCH_MODE=fusion to bench the fusion-only cached
-path (BASELINE.json config 4) instead.
+weight-independent.
+
+Experts run in bf16 by default (BENCH_DTYPE=fp32 reverts) — the TPU
+analogue of the reference's fp16 autocast for MambaIR (io.py:263); the
+fusion net and selective-scan state stay fp32, and
+tests/test_bf16_quality.py pins the PSNR cost of the mode. Set
+BENCH_MODE=fusion to bench the fusion-only cached path (BASELINE.json
+config 4) instead.
 """
 
 from __future__ import annotations
@@ -52,6 +58,9 @@ def bench_full(h, w, scale):
     from freqfusion_tpu.models.fusion.fusion_v2 import CompleteEnhancedFusionSR
     from freqfusion_tpu.models.pipeline import FreqFusionPipeline, build_expert_models
 
+    expert_dtype = (jnp.float32
+                    if os.environ.get("BENCH_DTYPE", "bf16") == "fp32"
+                    else jnp.bfloat16)
     rng = np.random.default_rng(0)
     lr = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
 
@@ -80,7 +89,9 @@ def bench_full(h, w, scale):
     params["fusion"] = fake_init(fusion.init, init_lr, mock_imgs, mock_feats)
 
     pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion,
-                                  jit_mode="full", use_scan=True)
+                                  jit_mode="full", use_scan=True,
+                                  expert_dtype=expert_dtype)
+    print(f"  expert dtype: {expert_dtype.__name__}", flush=True)
     t0 = time.perf_counter()
     float(jnp.sum(pipeline(lr)))  # sum forces real execution over the relay
     print(f"  compile+first run: {time.perf_counter() - t0:.1f}s", flush=True)
