@@ -109,3 +109,45 @@ def test_charbonnier_loss_parity(ref_losses, imgs):
     got = float(charbonnier_loss(jnp.asarray(pred), jnp.asarray(target),
                                  eps=1e-6))
     np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_combined_loss_strictly_obeys_weights(imgs):
+    """Reference regression test_loss_bug_fix.py: the total is EXACTLY the
+    weighted sum of the active components, zero-weight components are not
+    computed, and set_weights hot-swaps cleanly."""
+    from freqfusion_tpu.losses.combined import (
+        CombinedLoss, charbonnier_loss, l1_loss, swt_loss,
+    )
+
+    pred, target = imgs
+    pj, tj = jnp.asarray(pred), jnp.asarray(target)
+
+    w = {"l1": 0.7, "swt": 0.2, "charbonnier": 0.0}
+    loss = CombinedLoss(weights=w)
+    total, comps = loss(pj, tj, return_components=True)
+    assert set(comps) == {"l1", "swt"}, comps.keys()
+    expected = 0.7 * float(l1_loss(pj, tj)) + 0.2 * float(swt_loss(pj, tj))
+    assert abs(float(total) - expected) < 1e-6
+    assert loss.get_active_weights() == {"l1": 0.7, "swt": 0.2}
+
+    # stage hot-swap: new weights fully replace participation
+    loss.set_weights({"l1": 0.0, "charbonnier": 1.0})
+    total2, comps2 = loss(pj, tj, return_components=True)
+    assert set(comps2) == {"swt", "charbonnier"}
+    expected2 = (0.2 * float(swt_loss(pj, tj))
+                 + 1.0 * float(charbonnier_loss(pj, tj)))
+    assert abs(float(total2) - expected2) < 1e-6
+
+    # an unknown extra component only fires when weighted
+    marker = []
+
+    def extra(p, t):
+        marker.append(1)
+        return l1_loss(p, t)
+
+    loss3 = CombinedLoss(weights={"l1": 1.0}, extra_components={"vgg": extra})
+    loss3(pj, tj)
+    assert not marker
+    loss3.set_weights({"vgg": 0.5})
+    loss3(pj, tj)
+    assert marker
