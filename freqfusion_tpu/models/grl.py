@@ -138,7 +138,6 @@ class WindowAttentionGRL(nn.Module):
         ss = ws // 2 if self.shift else 0
         if ss:
             qkv = jnp.roll(qkv, shift=(-ss, -ss), axis=(1, 2))
-        qkv_w = window_partition(qkv, ws)  # [B_, N, 3C]
         n = ws * ws
         table = jnp.asarray(relative_coords_table_all((ws, ws), 1))
         index = relative_position_index_simple((ws, ws), 1, True)
@@ -148,12 +147,16 @@ class WindowAttentionGRL(nn.Module):
         transform = AffineTransform(self.num_heads, name="attn_transform")
 
         from ..ops.dispatch import use_pallas
-        # The fused kernel pays off at DRCT-scale windows (N=256); GRL's
-        # 64-token windows make tiny [64, hd] matmuls where the batched
-        # einsum path is faster (measured: kernel route cost GRL ~3s/img).
-        if use_pallas() and n >= 256:
-            from ..ops.pallas_attention import fused_window_attention
-            qf, kf, vf = jnp.split(qkv_w, 3, axis=-1)
+        # NHWC-direct kernel route for large windows only: at GRL-B's
+        # 64-token windows the batched einsum measured faster than the
+        # kernel loop over tiny [64, hd] dots (0.67 vs 0.72 s/img bf16,
+        # even with partition copies eliminated — the stripe attention
+        # partitions regardless). The cosine form folds per-head L2
+        # normalization and the clamped logit scale into q/k outside the
+        # kernel (elementwise, XLA-fused).
+        if use_pallas() and n >= 256 and h % ws == 0 and w % ws == 0:
+            from ..ops.pallas_attention import fused_window_attention_nhwc
+            qf, kf, vf = jnp.split(qkv, 3, axis=-1)       # spatial [B,H,W,C]
             hd = c // self.num_heads
 
             def norm_lanes(x):  # per-head L2 normalize over the lane blocks
@@ -166,19 +169,16 @@ class WindowAttentionGRL(nn.Module):
             scale_h = jnp.exp(jnp.minimum(transform.logit_scale_value(),
                                           np.log(1.0 / 0.01)))  # [nH,1,1]
             scale_vec = jnp.repeat(scale_h.reshape(-1), hd)       # [C]
-            qn = qn * scale_vec
+            # linalg.norm accumulates in fp32 — pin back to the network
+            # compute dtype so a bf16 scan carry stays bf16
+            qn = (qn * scale_vec).astype(qkv.dtype)
+            kn = kn.astype(qkv.dtype)
             bias = transform.bias_value(table, index, n, n)       # [nH,N,N]
-            if mask is not None:
-                # fold the window mask into a per-window bias via the
-                # kernel's mask stream
-                out = fused_window_attention(qn, kn, vf, bias, mask,
-                                             num_heads=self.num_heads,
-                                             scale=1.0)
-            else:
-                out = fused_window_attention(qn, kn, vf, bias, None,
-                                             num_heads=self.num_heads,
-                                             scale=1.0)
+            out = fused_window_attention_nhwc(qn, kn, vf, bias, mask,
+                                              num_heads=self.num_heads,
+                                              window_size=ws, scale=1.0)
         else:
+            qkv_w = window_partition(qkv, ws)  # [B_, N, 3C]
             q, k, v = [
                 _heads(t, self.num_heads)
                 for t in jnp.split(qkv_w, 3, axis=-1)]
@@ -188,7 +188,7 @@ class WindowAttentionGRL(nn.Module):
                                     _softmax(attn).astype(v.dtype), v,
                                     preferred_element_type=jnp.float32
                                     ).astype(qkv.dtype))
-        out = window_reverse(out, ws, h, w)
+            out = window_reverse(out, ws, h, w)
         if ss:
             out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))
         return out

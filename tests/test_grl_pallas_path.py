@@ -16,10 +16,12 @@ from freqfusion_tpu.models.grl import GRL  # noqa: E402
 
 
 def test_grl_pallas_route_matches_einsum(monkeypatch):
+    # window_size 16 -> N=256 engages the NHWC kernel route (GRL-B's own
+    # 8x8 windows stay on the einsum path by measurement)
     cfg = dict(upscale=4, embed_dim=48, depths=(2,), num_heads_w=3,
-               num_heads_s=3, window_size=8)
+               num_heads_s=3, window_size=16)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
 
     model = GRL(**cfg)
     params = model.init(jax.random.PRNGKey(0), x)
