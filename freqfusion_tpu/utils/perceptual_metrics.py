@@ -1,11 +1,12 @@
-"""Perceptual IQA metric wrappers with graceful degradation.
+"""Perceptual IQA metric bank with native backends + graceful degradation.
 
-Equivalent of src/utils/perceptual_metrics.py: LPIPS + pyiqa-backed
-metrics (DISTS, NIQE, MUSIQ, MANIQA, CLIP-IQA) used by the challenge's
-Perception track (eval.py:61-125). These are torch-ecosystem models; they
-run on the host CPU when their packages are importable and report
-unavailability otherwise — the same import-guard pattern the reference
-uses for lpips/pyiqa/clip (perceptual_loss.py:39-59).
+Equivalent of src/utils/perceptual_metrics.py (the challenge Perception
+track, eval.py:61-125). Two metrics run NATIVELY in this framework —
+NIQE (utils/niqe.py, given a pristine model) and LPIPS-vgg
+(utils/lpips.py, given converted weights) — so the track is computable
+without pyiqa. DISTS/MUSIQ/MANIQA/CLIP-IQA remain torch-ecosystem models
+behind the reference's import-guard pattern (perceptual_loss.py:39-59):
+used when pyiqa is importable, reported unavailable otherwise.
 """
 
 from __future__ import annotations
@@ -19,29 +20,54 @@ __all__ = ["PerceptualEvaluator", "available_metrics"]
 _PYIQA_METRICS = ("lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa")
 
 
-def available_metrics() -> List[str]:
+def available_metrics(niqe_params: Optional[str] = None,
+                      lpips_weights: Optional[str] = None) -> List[str]:
     out = []
+    if niqe_params:
+        out.append("niqe")
+    if lpips_weights:
+        out.append("lpips")
     try:
         import pyiqa  # noqa: F401
-        out.extend(_PYIQA_METRICS)
+        out.extend(m for m in _PYIQA_METRICS if m not in out)
     except ImportError:
         try:
             import lpips  # noqa: F401
-            out.append("lpips")
+            if "lpips" not in out:
+                out.append("lpips")
         except ImportError:
             pass
     return out
 
 
 class PerceptualEvaluator:
-    """Lazy-loading metric bank; call with HWC float [0,1] numpy arrays."""
+    """Lazy-loading metric bank; call with HWC float [0,1] numpy arrays.
+
+    niqe_params / lpips_weights activate the native backends (they take
+    precedence over pyiqa for those two metrics)."""
 
     def __init__(self, metrics: Optional[List[str]] = None,
-                 device: str = "cpu"):
+                 device: str = "cpu",
+                 niqe_params: Optional[str] = None,
+                 lpips_weights: Optional[str] = None):
         self.device = device
         self.requested = [m.lower() for m in (metrics or ["lpips"])]
         self._models: Dict[str, object] = {}
         self._no_ref = {"niqe", "musiq", "maniqa", "clipiqa"}
+        self._niqe_model = None
+        self._lpips_fn = None
+        if niqe_params:
+            from .niqe import load_niqe_params
+            self._niqe_model = (load_niqe_params(niqe_params)
+                                if isinstance(niqe_params, str)
+                                else niqe_params)
+        if lpips_weights:
+            import jax
+            from .lpips import load_lpips_params, lpips_forward
+            params = (load_lpips_params(lpips_weights)
+                      if isinstance(lpips_weights, str) else lpips_weights)
+            self._lpips_fn = jax.jit(
+                lambda a, b: lpips_forward(params, a, b))
 
     def _get(self, name: str):
         if name in self._models:
@@ -63,21 +89,37 @@ class PerceptualEvaluator:
 
     def __call__(self, sr: np.ndarray,
                  hr: Optional[np.ndarray] = None) -> Dict[str, float]:
-        import_ok = True
+        results: Dict[str, float] = {}
+
+        remaining = []
+        for name in self.requested:
+            if name == "niqe" and self._niqe_model is not None:
+                from .niqe import niqe as niqe_fn
+                try:
+                    results["niqe"] = float(niqe_fn(sr, self._niqe_model))
+                except ValueError:
+                    pass
+                continue
+            if name == "lpips" and self._lpips_fn is not None:
+                if hr is not None:
+                    import jax.numpy as jnp
+                    results["lpips"] = float(self._lpips_fn(
+                        jnp.asarray(sr)[None], jnp.asarray(hr)[None])[0])
+                continue
+            remaining.append(name)
+
+        if not remaining:
+            return results
         try:
             import torch
         except ImportError:
-            import_ok = False
-        results: Dict[str, float] = {}
-        if not import_ok:
             return results
-        import torch
 
         t_sr = torch.from_numpy(
             np.ascontiguousarray(sr.transpose(2, 0, 1))).float()[None]
         t_hr = (None if hr is None else torch.from_numpy(
             np.ascontiguousarray(hr.transpose(2, 0, 1))).float()[None])
-        for name in self.requested:
+        for name in remaining:
             model = self._get(name)
             if model is None:
                 continue

@@ -77,3 +77,26 @@ def test_niqe_too_small_raises():
     params = {"mu": np.zeros(36), "cov": np.eye(36)}
     with pytest.raises(ValueError):
         niqe(np.zeros((32, 32)), params)
+
+
+def test_perceptual_evaluator_native_backends(tmp_path):
+    """PerceptualEvaluator computes NIQE (and skips LPIPS cleanly when its
+    weights are absent) without pyiqa — the Perception track is exercised
+    end to end with native backends."""
+    from freqfusion_tpu.utils.perceptual_metrics import (
+        PerceptualEvaluator, available_metrics,
+    )
+
+    rng = np.random.default_rng(5)
+    pristine = [_textured(rng) for _ in range(4)]
+    params = fit_niqe_params(pristine)
+    p = tmp_path / "niqe.npz"
+    save_niqe_params(params, str(p))
+
+    assert "niqe" in available_metrics(niqe_params=str(p))
+
+    ev = PerceptualEvaluator(metrics=["niqe", "lpips"], niqe_params=str(p))
+    img = np.repeat(_textured(rng)[..., None], 3, axis=-1).astype(np.float32)
+    out = ev(img, img)
+    assert "niqe" in out and np.isfinite(out["niqe"])
+    assert "lpips" not in out  # no weights, no pyiqa -> cleanly absent
