@@ -134,6 +134,8 @@ def load_pipeline(model_dir: str, scale: int = 4,
 
     expert_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(
         os.environ.get("FREQFUSION_EXPERT_DTYPE", "").lower())
+    expert_parallel = os.environ.get(
+        "FREQFUSION_EXPERT_PARALLEL", "0") not in ("0", "false", "")
     params, overrides = _load_params(model_dir, verbose)
     if "fusion" not in params and init_missing_fusion:
         # Random fusion weights (warned, like train.py:739)
@@ -150,6 +152,21 @@ def load_pipeline(model_dir: str, scale: int = 4,
         params["fusion"] = model.init(jax.random.PRNGKey(0),
                                       jnp.zeros((1, h, w, 3)),
                                       mock_imgs, mock_feats)
+    if expert_parallel:
+        import jax
+        if len(jax.devices()) >= 2:
+            # one expert per chip, host-async dispatch: ensemble latency
+            # becomes max(expert latencies) instead of their sum
+            from ..models.pipeline import build_expert_models
+            from ..parallel.expert_parallel import ExpertParallelPipeline
+            if verbose:
+                print(f"  expert-parallel over {len(jax.devices())} devices")
+            return ExpertParallelPipeline(
+                params, scale=scale, expert_dtype=expert_dtype,
+                models=build_expert_models(scale, use_scan=use_scan,
+                                           overrides=overrides or None))
+        print("  ! FREQFUSION_EXPERT_PARALLEL needs >= 2 devices — "
+              "falling back to the single-device pipeline")
     return FreqFusionPipeline(params, scale=scale, jit_mode=jit_mode,
                               use_scan=use_scan, expert_dtype=expert_dtype,
                               model_overrides=overrides or None)

@@ -9,7 +9,16 @@ The TPU-native replacement is a named device mesh:
     when params are replicated and the batch is sharded).
   - ``model`` axis (optional, default 1): spatial sharding of full-image
     expert inference — window/stripe attention partitions are independent,
-    so images shard cleanly along H.
+    so images shard cleanly along H — or tensor parallelism
+    (parallel/tensor_parallel.py: Megatron-style feature-axis param
+    shardings, GSPMD-propagated).
+  - expert parallelism (parallel/expert_parallel.py): one frozen expert
+    per device, host-async dispatch; ensemble latency becomes
+    max(expert latencies).
+
+Pipeline parallelism is deliberately absent: the ensemble is wide, not
+deep — the four experts are mutually independent (ep covers them) and no
+single expert's layer stack is worth a pipeline bubble at batch 1.
 
 Everything routes through NamedSharding; no per-device Python loops.
 """

@@ -82,3 +82,14 @@ def test_expert_parallel_graceful_degradation():
     out = np.asarray(ep(lr))
     assert out.shape == (1, 64, 64, 3)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_load_pipeline_expert_parallel_knob(tmp_path, monkeypatch):
+    """FREQFUSION_EXPERT_PARALLEL=1 routes load_pipeline to the
+    expert-parallel pipeline (random-weight degraded mode)."""
+    from freqfusion_tpu.interface.io import load_pipeline
+
+    monkeypatch.setenv("FREQFUSION_EXPERT_PARALLEL", "1")
+    pipe = load_pipeline(str(tmp_path), verbose=False)
+    assert isinstance(pipe, ExpertParallelPipeline)
