@@ -90,7 +90,41 @@ class SS2D(nn.Module):
 
         from ..ops.dispatch import use_pallas
         pallas = use_pallas()
-        if pallas:
+        spatial = pallas and h % 8 == 0 and w % 8 == 0
+        if spatial:
+            # Spatial-direct kernels: the row-major sequence is the NHWC
+            # rows in order; the column-major one is the rows of its
+            # [B, W, H, D] transpose. Both forward AND backward kernels
+            # read/write the natural spatial layouts (backward = suffix
+            # recurrence + reversed row walk), so the only layout copy in
+            # the whole 4-direction scan is the single transpose — no
+            # per-direction sequence materialization, no stack, and the
+            # direction sum happens spatially.
+            from ..ops.selective_scan import selective_scan_pallas_spatial
+
+            xc_t = xc.transpose(0, 2, 1, 3)               # [B, W, H, D]
+            pair_sums = []
+            for sel, x_sp in ((slice(0, None, 2), xc),
+                              (slice(1, None, 2), xc_t)):
+                wsel = x_proj_weight[sel]                 # [2(fwd/bwd), C, D]
+                xd = jnp.einsum("brtd,kcd->kbrtc", x_sp, wsel,
+                                preferred_element_type=jnp.float32)
+                dts = jnp.einsum("kbrtc,kdc->kbrtd", xd[..., :dt_rank],
+                                 dt_projs_weight[sel],
+                                 preferred_element_type=jnp.float32)
+                a_p, d_p, b_p = A[sel], Dsk[sel], dt_projs_bias[sel]
+                y_pair = None
+                for j, rev in enumerate((False, True)):
+                    y_j = selective_scan_pallas_spatial(
+                        x_sp, dts[j], a_p[j],
+                        xd[j, ..., dt_rank: dt_rank + n],
+                        xd[j, ..., dt_rank + n:], d_p[j], b_p[j],
+                        reverse=rev)
+                    y_pair = y_j if y_pair is None else y_pair + y_j
+                pair_sums.append(y_pair)
+            y = pair_sums[0] + pair_sums[1].transpose(0, 2, 1, 3)
+            ys = None
+        elif pallas:
             # Bidirectional direction-batched kernel: dirs 2/3 run a
             # BACKWARD recurrence over the natural-order sequences, so no
             # flip is ever materialized (neither inputs nor outputs) and
@@ -130,20 +164,23 @@ class SS2D(nn.Module):
                                    chunk=self.scan_chunk)
                 ys.append(y)
 
-        # Undo the direction layouts and sum (pallas outputs need no
-        # un-flip; the XLA path's dirs 2/3 come back reversed).
-        if pallas:
-            y = ys[0] + ys[2]
-            y_col = ys[1] + ys[3]
-        else:
-            y = ys[0] + ys[2][:, ::-1]
-            y_col = ys[1] + ys[3][:, ::-1]
-        y = y + y_col.reshape(b, w, h, d_inner).transpose(0, 2, 1, 3
-                                                          ).reshape(b, l, d_inner)
+        # Undo the direction layouts and sum (spatial path already summed
+        # in NHWC; the bidir path needs the column transpose; the XLA
+        # path additionally un-flips dirs 2/3).
+        if not spatial:
+            if pallas:
+                yf = ys[0] + ys[2]
+                y_col = ys[1] + ys[3]
+            else:
+                yf = ys[0] + ys[2][:, ::-1]
+                y_col = ys[1] + ys[3][:, ::-1]
+            yf = yf + y_col.reshape(b, w, h, d_inner).transpose(
+                0, 2, 1, 3).reshape(b, l, d_inner)
+            y = yf.reshape(b, h, w, d_inner)
 
         # Scan state/output is fp32 (reference forces fp32 in forward_core);
         # drop back to the network compute dtype so a bf16 run stays bf16.
-        y = y.reshape(b, h, w, d_inner).astype(x.dtype)
+        y = y.astype(x.dtype)
         y = nn.LayerNorm(epsilon=1e-5, name="out_norm")(y)
         y = y * nn.silu(z)
         return nn.Dense(self.d_model, use_bias=False, name="out_proj")(y)

@@ -14,14 +14,15 @@ import jax.numpy as jnp  # noqa: E402
 from freqfusion_tpu.models.mambair import MambaIR  # noqa: E402
 
 
-def test_mambair_pallas_route_matches_xla(monkeypatch):
+@pytest.mark.parametrize("h,w", [(12, 20), (16, 24)])
+def test_mambair_pallas_route_matches_xla(monkeypatch, h, w):
     # embed_dim must clear CAB's squeeze_factor-30 bottleneck (dim//30 >= 1)
     model = MambaIR(upscale=4, embed_dim=60, depths=(2,), d_state=4,
                     scan_chunk=64)
     rng = np.random.default_rng(0)
-    # non-square, L=12*20=240 not a multiple of chunk: exercises padding
-    # and the reversed chunk walk of the backward kernel
-    x = jnp.asarray(rng.uniform(0, 1, (1, 12, 20, 3)).astype(np.float32))
+    # (12, 20): w%8 != 0 -> the flat bidir route (padding + reversed chunk
+    # walk); (16, 24): both %8 == 0 -> the spatial-direct route
+    x = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
 
     monkeypatch.setenv("FREQFUSION_PALLAS", "0")

@@ -106,3 +106,43 @@ def test_selective_scan_pallas_dirs_rejects_bad_inner():
         selective_scan_pallas_dirs(
             z, z, jnp.zeros((1, 4, 2)), zn, zn, jnp.zeros((1, 4)),
             jnp.zeros((1, 4)), chunk=6, inner=4, interpret=True)
+
+
+def test_selective_scan_pallas_spatial_matches_flat():
+    """Spatial-direct kernel (rows read straight from the NHWC layout)
+    == flat-sequence scan, forward and reverse."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_spatial)
+
+    rng = np.random.default_rng(11)
+    b, r, t, d, n = 2, 5, 24, 12, 4
+    l = r * t
+    u = rng.normal(size=(b, r, t, d)).astype(np.float32)
+    dt = (rng.normal(size=(b, r, t, d)) * 0.5).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (d, n))).astype(np.float32)
+    B = rng.normal(size=(b, r, t, n)).astype(np.float32)
+    C = rng.normal(size=(b, r, t, n)).astype(np.float32)
+    D = rng.normal(size=(d,)).astype(np.float32)
+    bias = (rng.normal(size=(d,)) * 0.2).astype(np.float32)
+
+    flat = lambda x: x.reshape(b, l, x.shape[-1])
+    ref_f = selective_scan(
+        jnp.asarray(flat(u)), jnp.asarray(flat(dt)), jnp.asarray(A),
+        jnp.asarray(B.reshape(b, l, n)), jnp.asarray(C.reshape(b, l, n)),
+        jnp.asarray(D), delta_bias=jnp.asarray(bias), chunk=32)
+    got_f = selective_scan_pallas_spatial(
+        *map(jnp.asarray, (u, dt, A, B, C, D, bias)), interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f).reshape(b, l, d),
+                               np.asarray(ref_f), atol=2e-5, rtol=1e-4)
+
+    # reverse: flip the flat sequence, scan, flip back
+    rev = lambda x: x.reshape(b, l, x.shape[-1])[:, ::-1]
+    ref_b = selective_scan(
+        jnp.asarray(rev(u)), jnp.asarray(rev(dt)), jnp.asarray(A),
+        jnp.asarray(rev(B)), jnp.asarray(rev(C)),
+        jnp.asarray(D), delta_bias=jnp.asarray(bias), chunk=32)[:, ::-1]
+    got_b = selective_scan_pallas_spatial(
+        *map(jnp.asarray, (u, dt, A, B, C, D, bias)),
+        reverse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_b).reshape(b, l, d),
+                               np.asarray(ref_b), atol=2e-5, rtol=1e-4)
