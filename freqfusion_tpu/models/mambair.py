@@ -12,8 +12,12 @@ depths (6,)*6, mlp_ratio 2.0, pixelshuffle x4.
 The CUDA ``selective_scan_fn`` — the reference's one hard native
 dependency, which doesn't even build on every machine (remote-only
 Decoupled Compute, configs/train_config.yaml:53-56) — is replaced by the
-chunked associative scan in ops/selective_scan.py. The 4 directions are
-plain layout transforms (transpose/flip) around the same scan.
+Pallas kernels in ops/selective_scan.py. On TPU the 4 directions run
+spatial-direct: row/column sequences are read straight from the NHWC
+tensor (columns via its one transpose) and the reversed directions
+execute a backward recurrence in-kernel, so no flipped or re-laid-out
+sequence is ever materialized. The XLA fallback path uses the plain
+layout transforms (transpose/flip) around the chunked associative scan.
 
 Frozen inference expert: no dropout / drop-path. Returns
 (sr, conv_after_body feature) — the hook target at io.py:172-176.
