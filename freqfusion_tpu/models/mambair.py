@@ -110,19 +110,32 @@ class SS2D(nn.Module):
             pair_sums = []
             for sel, x_sp in ((slice(0, None, 2), xc),
                               (slice(1, None, 2), xc_t)):
+                # dt/B/C projected straight to their own arrays (a packed
+                # x_dbl + big slices cost ~0.13 s/img of copies); outputs
+                # follow the network dtype — the kernel promotes to fp32
+                # internally, matching the reference's fp16-autocast
+                # boundary around its CUDA scan (io.py:263)
                 wsel = x_proj_weight[sel]                 # [2(fwd/bwd), C, D]
-                xd = jnp.einsum("brtd,kcd->kbrtc", x_sp, wsel,
-                                preferred_element_type=jnp.float32)
-                dts = jnp.einsum("kbrtc,kdc->kbrtd", xd[..., :dt_rank],
+                dt_low = jnp.einsum("brtd,kcd->kbrtc", x_sp,
+                                    wsel[:, :dt_rank],
+                                    preferred_element_type=jnp.float32)
+                dts = jnp.einsum("kbrtc,kdc->kbrtd", dt_low,
                                  dt_projs_weight[sel],
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32
+                                 ).astype(x_sp.dtype)
+                bs = jnp.einsum("brtd,kcd->kbrtc", x_sp,
+                                wsel[:, dt_rank: dt_rank + n],
+                                preferred_element_type=jnp.float32
+                                ).astype(x_sp.dtype)
+                cs = jnp.einsum("brtd,kcd->kbrtc", x_sp,
+                                wsel[:, dt_rank + n:],
+                                preferred_element_type=jnp.float32
+                                ).astype(x_sp.dtype)
                 a_p, d_p, b_p = A[sel], Dsk[sel], dt_projs_bias[sel]
                 y_pair = None
                 for j, rev in enumerate((False, True)):
                     y_j = selective_scan_pallas_spatial(
-                        x_sp, dts[j], a_p[j],
-                        xd[j, ..., dt_rank: dt_rank + n],
-                        xd[j, ..., dt_rank + n:], d_p[j], b_p[j],
+                        x_sp, dts[j], a_p[j], bs[j], cs[j], d_p[j], b_p[j],
                         reverse=rev)
                     y_pair = y_j if y_pair is None else y_pair + y_j
                 pair_sums.append(y_pair)
