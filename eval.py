@@ -149,40 +149,46 @@ def main():
     args = p.parse_args()
 
     want = [m.strip().lower() for m in args.metrics.split(",") if m.strip()]
-    native = {"psnr", "ssim", "niqe", "lpips"}
+    # niqe/lpips are native ONLY when their weight artifacts are supplied;
+    # otherwise they stay pyiqa candidates (so installing pyiqa still
+    # computes them without --niqe_params/--lpips_weights).
+    native = {"psnr", "ssim"}
+    if args.niqe_params or args.niqe_fit_folder:
+        native.add("niqe")
+    if args.lpips_weights:
+        native.add("lpips")
     pyiqa_wanted = [m for m in want if m not in native]
 
     niqe_model = None
-    if "niqe" in want:
+    if "niqe" in want and "niqe" in native:
         from freqfusion_tpu.utils.niqe import (
             fit_niqe_params, load_niqe_params,
         )
         if args.niqe_params:
             niqe_model = load_niqe_params(args.niqe_params)
-        elif args.niqe_fit_folder:
+        else:
             from freqfusion_tpu.utils.image_io import read_image
             imgs = (read_image(str(f))
                     for f in sorted(Path(args.niqe_fit_folder).iterdir())
                     if f.suffix.lower() in _IMG_EXTS)
             niqe_model = fit_niqe_params(imgs)
-        else:
-            print("NIQE requested but no --niqe_params/--niqe_fit_folder "
-                  "— skipping NIQE")
 
     lpips_params = None
-    if "lpips" in want:
-        if args.lpips_weights:
-            from freqfusion_tpu.utils.lpips import load_lpips_params
-            lpips_params = load_lpips_params(args.lpips_weights)
-        else:
-            print("LPIPS requested but no --lpips_weights — skipping LPIPS")
+    if "lpips" in want and "lpips" in native:
+        from freqfusion_tpu.utils.lpips import load_lpips_params
+        lpips_params = load_lpips_params(args.lpips_weights)
 
+    # pyiqa results are stored under the reference's display keys
+    # (reference eval.py keys CLIP-IQA with the hyphen) so total_score's
+    # branches match.
+    _DISPLAY = {"clipiqa": "CLIP-IQA", "clipiqa+": "CLIP-IQA"}
     iqa_models = {}
     if pyiqa_wanted:
         try:
             import pyiqa  # noqa: F401
             for m in pyiqa_wanted:
-                iqa_models[m.upper()] = pyiqa.create_metric(m, device="cpu")
+                key = _DISPLAY.get(m, m.upper())
+                iqa_models[key] = pyiqa.create_metric(m, device="cpu")
         except ImportError:
             print(f"pyiqa not available — skipping {pyiqa_wanted}")
 

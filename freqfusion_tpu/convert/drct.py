@@ -98,9 +98,15 @@ def sniff_drct_config(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     mlp_hidden = int(sd["layers.0.swin1.mlp.fc1.weight"].shape[0])
     mlp_ratio = mlp_hidden / embed_dim
     num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
-    # each upsample conv is x2 pixel-shuffle: count them for the scale
-    n_up = sum(1 for k in sd
-               if k.startswith("upsample.") and k.endswith(".weight"))
+    # Each upsample conv's shuffle factor comes from its output/input
+    # channel ratio (4C -> x2, 9C -> x3); the total scale is their
+    # product. Counting convs as x2 each would misread x3 checkpoints
+    # (a single 9C conv) as x2.
+    upscale = 1
+    for k in sorted(sd):
+        if k.startswith("upsample.") and k.endswith(".weight"):
+            w = sd[k]
+            upscale *= int(round((w.shape[0] / w.shape[1]) ** 0.5))
     return {
         "embed_dim": embed_dim,
         "num_layers": num_layers,
@@ -109,5 +115,5 @@ def sniff_drct_config(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         "gc": gc,
         "mlp_ratio": mlp_ratio,
         "num_feat": num_feat,
-        "upscale": 2 ** n_up,
+        "upscale": upscale,
     }

@@ -119,13 +119,18 @@ def sniff_mambair_config(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     d_inner = int(a_logs.shape[0]) // 4
     expand = d_inner / embed_dim
     num_feat = int(sd["conv_before_upsample.0.weight"].shape[0])
-    n_up = sum(1 for k in sd
-               if k.startswith("upsample.") and k.endswith(".weight"))
+    # per-conv shuffle factor from the output/input channel ratio
+    # (4C -> x2, 9C -> x3) so x3 checkpoints (one 9C conv) sniff right
+    upscale = 1
+    for k in sorted(sd):
+        if k.startswith("upsample.") and k.endswith(".weight"):
+            w = sd[k]
+            upscale *= int(round((w.shape[0] / w.shape[1]) ** 0.5))
     return {
         "embed_dim": embed_dim,
         "depths": tuple(depths),
         "d_state": d_state,
         "mlp_ratio": expand,
         "num_feat": num_feat,
-        "upscale": 2 ** n_up,
+        "upscale": upscale,
     }

@@ -59,10 +59,15 @@ def _sniff_config(name: str, sd) -> Optional[Dict[str, Any]]:
     return None
 
 
-def _convert_torch(name: str, path: str) -> Optional[Dict[str, Any]]:
+def _convert_torch(name: str, path: str):
+    """Returns (params_or_None, sniffed_config_or_None)."""
     from ..convert.common import load_torch_state_dict
     sd = load_torch_state_dict(path)
-    _convert_torch.last_sniffed = _sniff_config(name, sd)
+    sniffed = _sniff_config(name, sd)
+    return _convert_torch_sd(name, sd), sniffed
+
+
+def _convert_torch_sd(name: str, sd) -> Optional[Dict[str, Any]]:
     if name == "drct":
         from ..convert.drct import convert_drct
         return convert_drct(sd)
@@ -106,9 +111,7 @@ def _load_params(model_dir: str, verbose: bool = True) -> Dict[str, Any]:
                 print(f"  loaded {name} from {native.name}")
         elif torch_path.exists():
             try:
-                _convert_torch.last_sniffed = None
-                params[name] = _convert_torch(name, str(torch_path))
-                sniffed = _convert_torch.last_sniffed
+                params[name], sniffed = _convert_torch(name, str(torch_path))
                 if sniffed:
                     overrides[name] = sniffed
                 if verbose:

@@ -83,8 +83,19 @@ def _patch_features(patch: np.ndarray) -> np.ndarray:
     feats += [alpha, (sl ** 2 + sr ** 2) / 2.0]
     shifts = [(0, 1), (1, 0), (1, 1), (1, -1)]  # H, V, D1, D2
     for dy, dx in shifts:
-        shifted = np.roll(np.roll(patch, dy, axis=0), dx, axis=1)
-        prod = (patch * shifted).ravel()
+        # Non-wrapping adjacent-pixel products on trimmed overlapping
+        # slices (the official NIQE's circshift is applied to padded
+        # fields; np.roll here would inject spurious cross-edge products
+        # at patch borders).
+        ys = slice(0, -dy) if dy > 0 else slice(None)
+        ys2 = slice(dy, None) if dy > 0 else slice(None)
+        if dx > 0:
+            xs, xs2 = slice(0, -dx), slice(dx, None)
+        elif dx < 0:
+            xs, xs2 = slice(-dx, None), slice(0, dx)
+        else:
+            xs = xs2 = slice(None)
+        prod = (patch[ys, xs] * patch[ys2, xs2]).ravel()
         alpha, sl, sr = _aggd_fit(prod)
         const = math.sqrt(gamma_fn(1.0 / alpha) / gamma_fn(3.0 / alpha))
         mean = (sr - sl) * (gamma_fn(2.0 / alpha)

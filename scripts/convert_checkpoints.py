@@ -36,7 +36,7 @@ def main():
         if not src.exists():
             print(f"skip {name}: {fname} not found")
             continue
-        params = _convert_torch(name, str(src))
+        params, _ = _convert_torch(name, str(src))
         data = serialization.msgpack_serialize(
             __import__("jax").tree_util.tree_map(
                 lambda x: __import__("numpy").asarray(x), params))
