@@ -61,7 +61,8 @@ def total_score(avg: dict) -> float:
 
 
 def evaluate_pairs(pairs, want, crop_border=4, niqe_model=None,
-                   lpips_params=None, iqa_models=None, batch=8):
+                   lpips_params=None, iqa_models=None, batch=8,
+                   dists_params=None):
     """Batched evaluation. Returns {stem: {metric: value}}."""
     import jax
     import jax.numpy as jnp
@@ -88,6 +89,10 @@ def evaluate_pairs(pairs, want, crop_border=4, niqe_model=None,
     if lpips_params is not None and "lpips" in want:
         from freqfusion_tpu.utils.lpips import lpips_forward
         lp_fn = jax.jit(lambda a, b: lpips_forward(lpips_params, a, b))
+    ds_fn = None
+    if dists_params is not None and "dists" in want:
+        from freqfusion_tpu.utils.dists import dists_forward
+        ds_fn = jax.jit(lambda a, b: dists_forward(dists_params, a, b))
 
     for (h, w), items in sorted(buckets.items()):
         for i in range(0, len(items), batch):
@@ -106,6 +111,10 @@ def evaluate_pairs(pairs, want, crop_border=4, niqe_model=None,
                 d = np.asarray(lp_fn(srs, hrs))
                 for j, (stem, _, _) in enumerate(chunk):
                     results[stem]["LPIPS"] = float(d[j])
+            if ds_fn is not None:
+                d = np.asarray(ds_fn(srs, hrs))
+                for j, (stem, _, _) in enumerate(chunk):
+                    results[stem]["DISTS"] = float(d[j])
 
     if niqe_model is not None and "niqe" in want:
         from freqfusion_tpu.utils.niqe import niqe as niqe_fn
@@ -145,6 +154,9 @@ def main():
                    help="fit a pristine NIQE model from this image folder")
     p.add_argument("--lpips_weights", default=None,
                    help=".npz from convert_lpips, or '<vgg.pth>:<lin.pth>'")
+    p.add_argument("--dists_weights", default=None,
+                   help=".npz from convert_dists, or "
+                        "'<vgg16.pth>:<weights.pt>'")
     p.add_argument("--results_csv", default="iqa_results.csv")
     args = p.parse_args()
 
@@ -157,6 +169,8 @@ def main():
         native.add("niqe")
     if args.lpips_weights:
         native.add("lpips")
+    if args.dists_weights:
+        native.add("dists")
     pyiqa_wanted = [m for m in want if m not in native]
 
     niqe_model = None
@@ -178,6 +192,11 @@ def main():
         from freqfusion_tpu.utils.lpips import load_lpips_params
         lpips_params = load_lpips_params(args.lpips_weights)
 
+    dists_params = None
+    if "dists" in want and "dists" in native:
+        from freqfusion_tpu.utils.dists import load_dists_params
+        dists_params = load_dists_params(args.dists_weights)
+
     # pyiqa results are stored under the reference's display keys
     # (reference eval.py keys CLIP-IQA with the hyphen) so total_score's
     # branches match.
@@ -196,7 +215,8 @@ def main():
     print(f"evaluating {len(pairs)} pairs "
           f"(batched, bucket batch={args.batch})")
     results = evaluate_pairs(pairs, want, args.crop_border, niqe_model,
-                             lpips_params, iqa_models, args.batch)
+                             lpips_params, iqa_models, args.batch,
+                             dists_params=dists_params)
 
     for stem in sorted(results):
         row = results[stem]

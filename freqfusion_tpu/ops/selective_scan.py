@@ -266,9 +266,12 @@ def selective_scan_pallas(u: jnp.ndarray,
 
 
 def _ss_group(u_g, dt_g, bb, cc, a_row, dskip, bias, carry, *,
-              d: int, n: int, reverse: bool):
+              d: int, n: int, reverse: bool, use_exp2: bool = False):
     """One R-row group: build, Hillis-Steele combine, carry stitch,
-    output contraction. carry is [1, N*D]; returns (y_g [R, D], carry')."""
+    output contraction. carry is [1, N*D]; returns (y_g [R, D], carry').
+
+    use_exp2: a_row is pre-scaled by log2(e); the decay uses the native
+    exp2 (saves the ln2 multiply inside every transcendental)."""
     R = u_g.shape[0]
     u_g = u_g.astype(jnp.float32)
     delta_g = jax.nn.softplus(dt_g.astype(jnp.float32) + bias)
@@ -285,7 +288,8 @@ def _ss_group(u_g, dt_g, bb, cc, a_row, dskip, bias, carry, *,
     c_rep = jnp.concatenate(
         [jnp.broadcast_to(cc[:, i: i + 1], (R, d)) for i in range(n)], axis=1)
 
-    ag = jnp.exp(dt_rep * a_row)                             # [R, N*D]
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    ag = _exp(dt_rep * a_row)                                # [R, N*D]
     bg = du_rep * b_rep
     row = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     s = 1
@@ -517,7 +521,7 @@ def selective_scan_pallas_bidir(u: jnp.ndarray,
 
 def _ss_sp_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
                   y_ref, h_ref, *, d: int, n: int, inner: int = 8,
-                  reverse: bool = False):
+                  reverse: bool = False, use_exp2: bool = False):
     t = u_ref.shape[2]
     row_idx = pl.program_id(1)
 
@@ -533,13 +537,14 @@ def _ss_sp_kernel(u_ref, dt_ref, b_ref, c_ref, a_ref, dskip_ref, bias_ref,
         y, carry = _ss_group(
             u_ref[0, 0, sl], dt_ref[0, 0, sl], b_ref[0, 0, sl],
             c_ref[0, 0, sl], a_ref[:], dskip_ref[:], bias_ref[:], carry,
-            d=d, n=n, reverse=reverse)
-        y_ref[0, 0, sl] = y
+            d=d, n=n, reverse=reverse, use_exp2=use_exp2)
+        y_ref[0, 0, sl] = y.astype(y_ref.dtype)
     h_ref[:] = carry
 
 
 @functools.partial(jax.jit, static_argnames=("inner", "reverse",
-                                             "interpret"))
+                                             "interpret", "use_exp2",
+                                             "out_dtype"))
 def selective_scan_pallas_spatial(u: jnp.ndarray,
                                   delta: jnp.ndarray,
                                   A: jnp.ndarray,
@@ -549,7 +554,9 @@ def selective_scan_pallas_spatial(u: jnp.ndarray,
                                   delta_bias: jnp.ndarray,
                                   inner: int = 8,
                                   reverse: bool = False,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  use_exp2: bool = False,
+                                  out_dtype=None) -> jnp.ndarray:
     """One scan direction over a spatially-laid-out sequence.
 
     u/delta: [B, R, T, D] — R row-chunks of T positions, rows in sequence
@@ -557,7 +564,8 @@ def selective_scan_pallas_spatial(u: jnp.ndarray,
     D] transpose). B/C: [B, R, T, N]; A: [D, N]; D/delta_bias: [D].
     reverse=True runs the suffix recurrence (sequence reversed) while
     reading and writing the SAME natural-order layout. T must be a
-    multiple of ``inner``. Returns y [B, R, T, D] float32.
+    multiple of ``inner``. Returns y [B, R, T, D] in ``out_dtype``
+    (default float32; state math is fp32 in-kernel regardless).
     """
     b, r, t, d = u.shape
     n = A.shape[-1]
@@ -565,8 +573,11 @@ def selective_scan_pallas_spatial(u: jnp.ndarray,
         interpret = True
     if t % min(inner, t) != 0:
         raise ValueError(f"T ({t}) must be a multiple of inner ({inner})")
+    out_dtype = out_dtype or jnp.float32
 
     a_flat = A.astype(jnp.float32).transpose(1, 0).reshape(1, d * n)
+    if use_exp2:
+        a_flat = a_flat * jnp.float32(1.4426950408889634)  # log2(e)
 
     if reverse:
         cmap = lambda bi, ri: (bi, r - 1 - ri, 0, 0)
@@ -584,12 +595,12 @@ def selective_scan_pallas_spatial(u: jnp.ndarray,
     bias = delta_bias.astype(jnp.float32).reshape(1, d)
     return pl.pallas_call(
         functools.partial(_ss_sp_kernel, d=d, n=n, inner=inner,
-                          reverse=reverse),
+                          reverse=reverse, use_exp2=use_exp2),
         grid=(b, r),
         in_specs=[blk(d), blk(d), blk(n), blk(n),
                   const(a_flat), const(dskip), const(bias)],
         out_specs=blk(d),
-        out_shape=jax.ShapeDtypeStruct((b, r, t, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, r, t, d), out_dtype),
         scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
         interpret=interpret,
     )(u, delta, B, C, a_flat, dskip, bias)

@@ -2,9 +2,10 @@
 
 Equivalent of src/utils/perceptual_metrics.py (the challenge Perception
 track, eval.py:61-125). Two metrics run NATIVELY in this framework —
-NIQE (utils/niqe.py, given a pristine model) and LPIPS-vgg
-(utils/lpips.py, given converted weights) — so the track is computable
-without pyiqa. DISTS/MUSIQ/MANIQA/CLIP-IQA remain torch-ecosystem models
+NIQE (utils/niqe.py, given a pristine model), LPIPS-vgg
+(utils/lpips.py, given converted weights) and DISTS (utils/dists.py,
+given converted weights) — so the track is computable
+without pyiqa. MUSIQ/MANIQA/CLIP-IQA remain torch-ecosystem models
 behind the reference's import-guard pattern (perceptual_loss.py:39-59):
 used when pyiqa is importable, reported unavailable otherwise.
 """
@@ -21,12 +22,15 @@ _PYIQA_METRICS = ("lpips", "dists", "niqe", "musiq", "maniqa", "clipiqa")
 
 
 def available_metrics(niqe_params: Optional[str] = None,
-                      lpips_weights: Optional[str] = None) -> List[str]:
+                      lpips_weights: Optional[str] = None,
+                      dists_weights: Optional[str] = None) -> List[str]:
     out = []
     if niqe_params:
         out.append("niqe")
     if lpips_weights:
         out.append("lpips")
+    if dists_weights:
+        out.append("dists")
     try:
         import pyiqa  # noqa: F401
         out.extend(m for m in _PYIQA_METRICS if m not in out)
@@ -43,13 +47,14 @@ def available_metrics(niqe_params: Optional[str] = None,
 class PerceptualEvaluator:
     """Lazy-loading metric bank; call with HWC float [0,1] numpy arrays.
 
-    niqe_params / lpips_weights activate the native backends (they take
-    precedence over pyiqa for those two metrics)."""
+    niqe_params / lpips_weights / dists_weights activate the native
+    backends (they take precedence over pyiqa for those metrics)."""
 
     def __init__(self, metrics: Optional[List[str]] = None,
                  device: str = "cpu",
                  niqe_params: Optional[str] = None,
-                 lpips_weights: Optional[str] = None):
+                 lpips_weights: Optional[str] = None,
+                 dists_weights: Optional[str] = None):
         self.device = device
         self.requested = [m.lower() for m in (metrics or ["lpips"])]
         self._models: Dict[str, object] = {}
@@ -68,6 +73,14 @@ class PerceptualEvaluator:
                       if isinstance(lpips_weights, str) else lpips_weights)
             self._lpips_fn = jax.jit(
                 lambda a, b: lpips_forward(params, a, b))
+        self._dists_fn = None
+        if dists_weights:
+            import jax
+            from .dists import dists_forward, load_dists_params
+            dparams = (load_dists_params(dists_weights)
+                       if isinstance(dists_weights, str) else dists_weights)
+            self._dists_fn = jax.jit(
+                lambda a, b: dists_forward(dparams, a, b))
 
     def _get(self, name: str):
         if name in self._models:
@@ -104,6 +117,12 @@ class PerceptualEvaluator:
                 if hr is not None:
                     import jax.numpy as jnp
                     results["lpips"] = float(self._lpips_fn(
+                        jnp.asarray(sr)[None], jnp.asarray(hr)[None])[0])
+                continue
+            if name == "dists" and self._dists_fn is not None:
+                if hr is not None:
+                    import jax.numpy as jnp
+                    results["dists"] = float(self._dists_fn(
                         jnp.asarray(sr)[None], jnp.asarray(hr)[None])[0])
                 continue
             remaining.append(name)
