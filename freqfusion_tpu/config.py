@@ -167,6 +167,17 @@ class CheckpointConfig:
 
 
 @dataclass(frozen=True)
+class LoggingConfig:
+    """TensorBoard logging knobs (reference train_config.yaml:287-292)."""
+
+    tensorboard: bool = True
+    log_images: bool = True
+    # grids logged from each validation epoch; cap per-epoch volume
+    max_image_rows: int = 4
+    print_freq: int = 50
+
+
+@dataclass(frozen=True)
 class TSDSRConfig:
     """TSD-SR refiner gate (reference train_config.yaml:85-92) — enabled
     but use_during_training: false in the reference recipe; the submission
@@ -210,6 +221,7 @@ class Config:
     dataset: DatasetConfig = field(default_factory=DatasetConfig)
     validation: ValidationConfig = field(default_factory=ValidationConfig)
     checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
     tsdsr: TSDSRConfig = field(default_factory=TSDSRConfig)
 
 
@@ -347,6 +359,14 @@ def load_config(path: str) -> Config:
         mode=ck.get("mode", "max"),
     )
 
+    lg = raw.get("logging", {}) or {}
+    tb_raw = lg.get("tensorboard", {}) or {}
+    logging = LoggingConfig(
+        tensorboard=tb_raw.get("enabled", True),
+        log_images=bool(tb_raw.get("log_images_every", 500)),
+        print_freq=lg.get("print_freq", 50),
+    )
+
     ts = raw.get("tsdsr", {}) or {}
     tsdsr = TSDSRConfig(
         enabled=ts.get("enabled", True),
@@ -372,5 +392,6 @@ def load_config(path: str) -> Config:
         dataset=dataset,
         validation=validation,
         checkpoint=checkpoint,
+        logging=logging,
         tsdsr=tsdsr,
     )

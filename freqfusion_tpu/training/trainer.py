@@ -279,6 +279,7 @@ class FusionTrainer:
         max_bs = max(1, self.cfg.validation.batch_size)
         sums: Dict[str, float] = {}
         n = 0
+        self._last_val_images = None
         for samples in buckets.values():
             for start in range(0, len(samples), max_bs):
                 group = samples[start:start + max_bs]
@@ -292,8 +293,18 @@ class FusionTrainer:
                         k: np.stack([s["expert_feats"][k] for s in group])
                         for k in group[0]["expert_feats"]},
                 }
-                _, metrics = self._eval_step(params, self.state.model_state,
-                                             batch)
+                sr, metrics = self._eval_step(params, self.state.model_state,
+                                              batch)
+                if (self._last_val_images is None
+                        and getattr(self.cfg.logging, "log_images", True)):
+                    # First validation group: LR/SR/HR grids for TB
+                    # (reference logs these from validate, logger.py:31+)
+                    rows = getattr(self.cfg.logging, "max_image_rows", 4)
+                    self._last_val_images = {
+                        "lr": batch["lr"][:rows],
+                        "sr": np.asarray(sr[:rows]),
+                        "hr": batch["hr"][:rows],
+                    }
                 for k, v in metrics.items():
                     sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
                 n += len(group)
@@ -322,6 +333,9 @@ class FusionTrainer:
                 log.update({f"val/{k}": v for k, v in val_metrics.items()})
                 if val_metrics.get("psnr", -1) > self.best_psnr:
                     self.best_psnr = val_metrics["psnr"]
+                if getattr(self, "_last_val_images", None):
+                    for tag, imgs in self._last_val_images.items():
+                        self.tb.images(f"val/{tag}", imgs, epoch)
 
             self.logger.log(log)
             self.tb.scalars({k: v for k, v in log.items() if k != "epoch"},
