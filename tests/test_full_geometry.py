@@ -1,0 +1,158 @@
+"""Full-geometry conversion validation (round-3, VERDICT missing #1).
+
+Every other parity test converts SMALL configs; the first real checkpoint
+a user loads is the full shipped geometry (DRCT-L 180-dim/12-RDG,
+GRL-B 7-stage, NAFNet width-64, MambaIR 6x6 — expert_loader.py:233-395 /
+io.py:156-163). These tests instantiate each reference torch model at
+exactly that geometry (CPU, random weights), push the REAL full-size
+state dict through convert_*, assert the converted tree's shapes against
+the full JAX model, and run one small crop forward through the converted
+full-geometry params (under nn.scan stacking, which keeps the CPU compile
+tractable and exercises restack_params_for_scan at full scale too).
+
+Numerical parity at full geometry is transitively pinned by the
+small-config value tests (same per-layer code paths); what this file
+guards is the CONVERTER's behavior on the real key/shape space.
+"""
+
+import numpy as np
+import pytest
+
+from reference_loader import has_reference, load_module
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from freqfusion_tpu.convert.common import assert_tree_shapes  # noqa: E402
+from freqfusion_tpu.models.pipeline import (  # noqa: E402
+    build_expert_models, restack_params_for_scan,
+)
+
+pytestmark = pytest.mark.skipif(not has_reference(),
+                                reason="reference repo not mounted")
+
+
+def _forward_crop(name, params, x):
+    """One crop through the full-geometry scan-stacked model."""
+    models = build_expert_models(4, use_scan=True)
+    stacked = restack_params_for_scan({name: params})[name]
+    sr, feat = jax.jit(models[name].apply)(stacked, jnp.asarray(x))
+    assert np.isfinite(np.asarray(sr)).all()
+    assert np.isfinite(np.asarray(feat)).all()
+    return np.asarray(sr), np.asarray(feat)
+
+
+def _eval_shape_target(name):
+    models = build_expert_models(4, use_scan=False)
+    return jax.eval_shape(models[name].init, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 16, 16, 3), jnp.float32))
+
+
+def test_drct_l_full_geometry():
+    arch = load_module("src/models/drct/drct_arch.py", "ref_drct_full")
+    torch.manual_seed(0)
+    # create_drct_model (reference drct/__init__.py:86-116) leaves
+    # mlp_ratio at the arch default (4) — the as-instantiated geometry
+    tm = arch.DRCT(upscale=4, img_size=64, window_size=16, img_range=1.0,
+                   embed_dim=180, depths=[6] * 12, num_heads=[6] * 12,
+                   gc=32, upsampler="pixelshuffle",
+                   resi_connection="1conv")
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    n_params = sum(v.size for v in sd.values())
+    # state_dict includes large index/mask buffers (window 16 -> 256^2
+    # relative_position_index per block) on top of the ~34M params
+    assert 25e6 < n_params < 80e6, n_params  # DRCT-L scale
+
+    from freqfusion_tpu.convert.drct import convert_drct, sniff_drct_config
+    cfg = sniff_drct_config(sd)
+    assert cfg["embed_dim"] == 180 and cfg["num_layers"] == 12
+    assert cfg["window_size"] == 16 and cfg["upscale"] == 4
+
+    params = convert_drct(sd)
+    assert_tree_shapes(params, _eval_shape_target("drct"), "drct-full")
+
+    x = np.random.default_rng(0).uniform(0, 1, (1, 16, 16, 3)).astype(
+        np.float32)
+    sr, feat = _forward_crop("drct", params, x)
+    assert sr.shape == (1, 64, 64, 3)
+    assert feat.shape == (1, 16, 16, 180)
+
+
+def test_grl_b_full_geometry():
+    from test_grl_parity import _load_ref_grl
+    ga = _load_ref_grl()
+    torch.manual_seed(0)
+    tm = ga.GRL(
+        upscale=4, img_size=64, window_size=8, embed_dim=180,
+        depths=[4, 4, 8, 8, 8, 4, 4], num_heads_window=[3] * 7,
+        num_heads_stripe=[3] * 7, stripe_size=[8, 8],
+        stripe_groups=[None, None], stripe_shift=False, mlp_ratio=2.0,
+        qkv_bias=True, qkv_proj_type="linear", anchor_proj_type="avgpool",
+        anchor_one_stage=True, anchor_window_down_factor=2,
+        out_proj_type="linear", local_connection=True,
+        upsampler="pixelshuffle", conv_type="1conv", init_method="n",
+        img_range=1.0, fairscale_checkpoint=False, drop_path_rate=0.0,
+    )
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    n_params = sum(v.size for v in sd.values())
+    assert 15e6 < n_params < 45e6, n_params  # GRL-B scale (+ buffers)
+
+    from freqfusion_tpu.convert.grl import convert_grl
+    params = convert_grl(sd)
+    assert_tree_shapes(params, _eval_shape_target("grl"), "grl-full")
+
+    x = np.random.default_rng(1).uniform(0, 1, (1, 32, 32, 3)).astype(
+        np.float32)
+    sr, feat = _forward_crop("grl", params, x)
+    assert sr.shape == (1, 128, 128, 3)
+    assert feat.shape == (1, 32, 32, 180)
+
+
+def test_nafnet_full_geometry():
+    arch = load_module("src/models/nafnet/nafnet_arch.py", "ref_naf_full")
+    torch.manual_seed(0)
+    tm = arch.NAFNet(img_channel=3, width=64, middle_blk_num=12,
+                     enc_blk_nums=[2, 2, 4, 8], dec_blk_nums=[2, 2, 2, 2])
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    n_params = sum(v.size for v in sd.values())
+    assert 100e6 < n_params < 130e6, n_params  # NAFNet-64 scale
+
+    from freqfusion_tpu.convert.nafnet import convert_nafnet
+    params = convert_nafnet(sd)
+    assert_tree_shapes(params, _eval_shape_target("nafnet"), "nafnet-full")
+
+    x = np.random.default_rng(2).uniform(0, 1, (1, 16, 16, 3)).astype(
+        np.float32)
+    sr, feat = _forward_crop("nafnet", params, x)
+    assert sr.shape == (1, 64, 64, 3)
+    assert feat.shape[-1] == 64
+
+
+def test_mambair_full_geometry():
+    from test_mambair_parity import _load_ref_mambair
+    mod = _load_ref_mambair()
+    torch.manual_seed(0)
+    tm = mod.MambaIR(upscale=4, in_chans=3, img_size=64, embed_dim=180,
+                     depths=(6,) * 6, d_state=16, mlp_ratio=2.0,
+                     img_range=1.0, drop_path_rate=0.0,
+                     upsampler="pixelshuffle", resi_connection="1conv")
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    n_params = sum(v.size for v in sd.values())
+    assert 12e6 < n_params < 35e6, n_params  # MambaIR scale (+ buffers)
+
+    from freqfusion_tpu.convert.mambair import (
+        convert_mambair, sniff_mambair_config)
+    cfg = sniff_mambair_config(sd)
+    assert cfg["embed_dim"] == 180 and cfg["depths"] == (6,) * 6
+    assert cfg["d_state"] == 16 and cfg["upscale"] == 4
+
+    params = convert_mambair(sd)
+    assert_tree_shapes(params, _eval_shape_target("mamba"), "mamba-full")
+
+    x = np.random.default_rng(3).uniform(0, 1, (1, 16, 16, 3)).astype(
+        np.float32)
+    sr, feat = _forward_crop("mamba", params, x)
+    assert sr.shape == (1, 64, 64, 3)
+    assert feat.shape == (1, 16, 16, 180)
