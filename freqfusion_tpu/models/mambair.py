@@ -41,6 +41,22 @@ __all__ = ["SS2D", "VSSBlock", "MambaIR"]
 _RGB_MEAN = np.array([0.4488, 0.4371, 0.4040], np.float32)
 
 
+class _SplitProj(nn.Module):
+    """in_proj as two half-width matmuls from one shared kernel — same
+    params/state-dict layout as Dense(2*d_inner), but the [.., 2*D] xz
+    tensor is never materialized (its split cost ~15 ms/img in the
+    round-3 trace)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (x.shape[-1], self.features))
+        half = self.features // 2
+        return x @ kern[:, :half], x @ kern[:, half:]
+
+
 class SS2D(nn.Module):
     """2-D selective scan block (mambair_arch.py:209-388)."""
 
@@ -59,8 +75,7 @@ class SS2D(nn.Module):
         n = self.d_state
         k = 4
 
-        xz = nn.Dense(d_inner * 2, use_bias=False, name="in_proj")(x)
-        xc, z = jnp.split(xz, 2, axis=-1)
+        xc, z = _SplitProj(d_inner * 2, name="in_proj")(x)
 
         xc = nn.Conv(d_inner, (self.d_conv, self.d_conv),
                      padding=[((self.d_conv - 1) // 2,) * 2] * 2,
@@ -92,10 +107,74 @@ class SS2D(nn.Module):
         x_col = xc.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
         dirs = (x_row, x_col, x_row[:, ::-1], x_col[:, ::-1])
 
+        import os
+
         from ..ops.dispatch import use_pallas
         pallas = use_pallas()
-        spatial = pallas and h % 8 == 0 and w % 8 == 0
-        if spatial:
+        spatial_ok = pallas and h % 8 == 0 and w % 8 == 0
+        impl = os.environ.get("FREQFUSION_SCAN", "chain")
+        chain = spatial_ok and impl == "chain"
+        spatial = spatial_ok and not chain
+        if chain:
+            # Chain-parallel kernels (v5): each direction scans 8
+            # consecutive chains (image rows / columns) in the sublanes
+            # with a serial time walk — no in-group Hillis-Steele at all.
+            # The T-major layouts the kernels want are exactly the two
+            # layouts SS2D already has: row directions read the [B, W, H,
+            # D] transpose, column directions read the NHWC tensor
+            # itself, so no extra layout copies appear. D is padded 360 ->
+            # 384 so every per-state slice op in-kernel is lane-aligned
+            # (the padded channels have A=D=bias=0 and contribute exactly
+            # zero). Exactness across chain boundaries comes from the
+            # summary pass + O(rows) associative scan inside the wrapper.
+            from ..ops.selective_scan import selective_scan_pallas_chain
+
+            dp = -(-d_inner // 128) * 128
+            pad_d = dp - d_inner
+            A_p = jnp.pad(A, [(0, 0), (0, pad_d), (0, 0)])
+            D_p = jnp.pad(Dsk, [(0, 0), (0, pad_d)])
+            bias_p = jnp.pad(dt_projs_bias.astype(jnp.float32),
+                             [(0, 0), (0, pad_d)])
+            xc_t = xc.transpose(0, 2, 1, 3)               # [B, W, H, D]
+            pair_sums = []
+            # row dirs (weights 0/2) scan T=W -> the transpose layout;
+            # col dirs (weights 1/3) scan T=H -> the NHWC tensor itself
+            # dt projection weights padded on the OUTPUT dim so dts comes
+            # out of the matmul already 384-wide (no separate pad op)
+            dtw_p = jnp.pad(dt_projs_weight, [(0, 0), (0, pad_d), (0, 0)])
+            for sel, x_lay in ((slice(0, None, 2), xc_t),
+                               (slice(1, None, 2), xc)):
+                u_p = jnp.pad(x_lay, [(0, 0)] * 3 + [(0, pad_d)])
+                y_pair = None
+                # per-direction einsums (no [k, ...] stack to slice —
+                # the k-axis slices cost real copies per the trace)
+                for j, rev in enumerate((False, True)):
+                    k_idx = sel.indices(4)[0] + 2 * j     # 0/2 or 1/3
+                    wk = x_proj_weight[k_idx]             # [C, D]
+                    dt_low = jnp.einsum(
+                        "btrd,cd->btrc", x_lay, wk[:dt_rank],
+                        preferred_element_type=jnp.float32)
+                    dt_j = jnp.einsum(
+                        "btrc,dc->btrd", dt_low, dtw_p[k_idx],
+                        preferred_element_type=jnp.float32
+                        ).astype(x_lay.dtype)
+                    bs_j = jnp.einsum(
+                        "btrd,cd->btrc", x_lay, wk[dt_rank: dt_rank + n],
+                        preferred_element_type=jnp.float32
+                        ).astype(x_lay.dtype)
+                    cs_j = jnp.einsum(
+                        "btrd,cd->btrc", x_lay, wk[dt_rank + n:],
+                        preferred_element_type=jnp.float32
+                        ).astype(x_lay.dtype)
+                    y_j = selective_scan_pallas_chain(
+                        u_p, dt_j, A_p[k_idx], bs_j, cs_j, D_p[k_idx],
+                        bias_p[k_idx], reverse=rev, out_dtype=x_lay.dtype)
+                    y_pair = y_j if y_pair is None else y_pair + y_j
+                pair_sums.append(y_pair[..., :d_inner])
+            # pair 0 came back [B, W, H, D]; transpose once to NHWC
+            y = pair_sums[1] + pair_sums[0].transpose(0, 2, 1, 3)
+            ys = None
+        elif spatial:
             # Spatial-direct kernels: the row-major sequence is the NHWC
             # rows in order; the column-major one is the rows of its
             # [B, W, H, D] transpose. Both forward AND backward kernels
@@ -181,10 +260,10 @@ class SS2D(nn.Module):
                                    chunk=self.scan_chunk)
                 ys.append(y)
 
-        # Undo the direction layouts and sum (spatial path already summed
-        # in NHWC; the bidir path needs the column transpose; the XLA
-        # path additionally un-flips dirs 2/3).
-        if not spatial:
+        # Undo the direction layouts and sum (chain/spatial paths already
+        # summed in NHWC; the bidir path needs the column transpose; the
+        # XLA path additionally un-flips dirs 2/3).
+        if ys is not None:
             if pallas:
                 yf = ys[0] + ys[2]
                 y_col = ys[1] + ys[3]

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["selective_scan", "selective_scan_pallas",
            "selective_scan_pallas_dirs", "selective_scan_pallas_bidir",
-           "selective_scan_pallas_spatial"]
+           "selective_scan_pallas_spatial", "selective_scan_pallas_chain"]
 
 
 def _scan_combine(c1, c2):
@@ -604,3 +604,237 @@ def selective_scan_pallas_spatial(u: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
         interpret=interpret,
     )(u, delta, B, C, a_flat, dskip, bias)
+
+
+# ---------------------------------------------------------------------------
+# Chain-parallel kernels (v5): 8 sublane-parallel chains, serial time steps
+# ---------------------------------------------------------------------------
+#
+# The v4 kernels spend ~70% of their element work on the in-group
+# Hillis-Steele structure (3 roll+select passes + stitch = ~19 of ~26
+# vector ops per state element — the "3.5x minimum work" the round-2
+# roofline identified). v5 removes the intra-group scan entirely: the
+# TRANSPOSED spatial layout [B, T, R, D] puts 8 *consecutive chains*
+# (image rows for the row-major direction / image columns for the
+# column-major one — which is just the other of the two layouts SS2D
+# already has) on the 8 sublanes, so a serial walk over the T time steps
+# advances 8 chains per FMA at full vreg utilization. Exactness across
+# chain boundaries (the sequence runs row 0, row 1, ... in order) is
+# restored by a two-pass structure:
+#   1. summary kernel: per chain, the total decay P = exp(A * sum(delta))
+#      (the per-step decays telescope through exp) and the zero-init final
+#      state F — ~6 ops/element, no output write;
+#   2. an O(R) associative scan over chains in XLA composes (P, F) into
+#      each chain's true initial state;
+#   3. main kernel: the same serial walk seeded with the true inits,
+#      emitting y — ~9 ops/element.
+# Per-state math is slice-wise at [8, Dp] per state index n with D padded
+# to a lane multiple (360 -> 384): every slice op is lane-aligned, there
+# are no [R, N*D] concat/broadcast builds at all (round 2 measured
+# slice-wise builds LOSING at d=360 — misaligned 2.8-vreg slices — which
+# the pad fixes), and A streams in as [N, Dp] rows (sublane-broadcast-
+# safe). State stays fp32 in-kernel; I/O follows the compute dtype.
+
+
+def _ss_chain_step(u_w, dt_w, bb, a_ref, bias, hs, *, n: int, dp: int,
+                   use_exp2: bool, cc=None, dskip=None):
+    """One serial time step advancing 8 chains held in ``hs`` (a list of
+    n [8, Dp] fp32 states). Returns (delta, y_or_None)."""
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    u_w = u_w.astype(jnp.float32)
+    delta = jax.nn.softplus(dt_w.astype(jnp.float32) + bias)
+    du = delta * u_w
+    bb = bb.astype(jnp.float32)
+    y = None if cc is None else u_w * dskip
+    for i in range(n):
+        a_i = _exp(delta * a_ref[i: i + 1])
+        bu_i = du * jnp.broadcast_to(bb[:, i: i + 1], du.shape)
+        hs[i] = a_i * hs[i] + bu_i
+        if cc is not None:
+            y = y + hs[i] * jnp.broadcast_to(cc[:, i: i + 1], du.shape)
+    return delta, y
+
+
+def _ss_chain_summary_kernel(u_ref, dt_ref, b_ref, a_ref, bias_ref,
+                             p_ref, f_ref, s_scr, f_scr, *, dp: int,
+                             n: int, reverse: bool, use_exp2: bool,
+                             unroll: int = 8):
+    wc_idx = pl.program_id(2)
+    nwc = pl.num_programs(2)
+    wcount = u_ref.shape[1]
+
+    @pl.when(wc_idx == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        f_scr[:] = jnp.zeros_like(f_scr)
+
+    bias = bias_ref[:]
+
+    U = unroll if wcount % unroll == 0 else 1
+
+    def body(wi, carry):
+        # fori_loop with a manually U-unrolled body (Mosaic supports only
+        # unroll=1/full in its fori lowering): keeps the program ~U steps
+        # long — the relay's remote-compile rejects fully-unrolled
+        # 128-step bodies (HTTP 413) — while amortizing loop overhead
+        S, hs = carry
+        hs = list(hs)
+        for k in range(U):
+            w = wi * U + k
+            idx = wcount - 1 - w if reverse else w
+            delta, _ = _ss_chain_step(
+                u_ref[0, idx], dt_ref[0, idx], b_ref[0, idx], a_ref, bias,
+                hs, n=n, dp=dp, use_exp2=use_exp2)
+            S = S + delta
+        return S, tuple(hs)
+
+    hs0 = tuple(f_scr[:, i * dp: (i + 1) * dp] for i in range(n))
+    S, hs = jax.lax.fori_loop(0, wcount // U, body, (s_scr[:], hs0),
+                              unroll=1)
+    s_scr[:] = S
+    f_scr[:] = jnp.concatenate(hs, axis=1)
+
+    @pl.when(wc_idx == nwc - 1)
+    def _():
+        _exp = jnp.exp2 if use_exp2 else jnp.exp
+        f_ref[0, 0] = f_scr[:]
+        p_ref[0, 0] = jnp.concatenate(
+            [_exp(s_scr[:] * a_ref[i: i + 1]) for i in range(n)], axis=1)
+
+
+def _ss_chain_main_kernel(u_ref, dt_ref, b_ref, c_ref, init_ref, a_ref,
+                          dskip_ref, bias_ref, y_ref, h_scr, *, dp: int,
+                          n: int, reverse: bool, use_exp2: bool,
+                          unroll: int = 8):
+    wc_idx = pl.program_id(2)
+    wcount = u_ref.shape[1]
+
+    @pl.when(wc_idx == 0)
+    def _():
+        h_scr[:] = init_ref[0, 0]
+
+    bias = bias_ref[:]
+    dskip = dskip_ref[:]
+
+    U = unroll if wcount % unroll == 0 else 1
+
+    def body(wi, hs):
+        hs = list(hs)
+        for k in range(U):
+            w = wi * U + k
+            idx = wcount - 1 - w if reverse else w
+            _, y = _ss_chain_step(
+                u_ref[0, idx], dt_ref[0, idx], b_ref[0, idx], a_ref, bias,
+                hs, n=n, dp=dp, use_exp2=use_exp2, cc=c_ref[0, idx],
+                dskip=dskip)
+            y_ref[0, idx] = y.astype(y_ref.dtype)
+        return tuple(hs)
+
+    hs0 = tuple(h_scr[:, i * dp: (i + 1) * dp] for i in range(n))
+    hs = jax.lax.fori_loop(0, wcount // U, body, hs0, unroll=1)
+    h_scr[:] = jnp.concatenate(hs, axis=1)
+
+
+def _chain_chunk(t: int, cap: int = 160) -> int:
+    for wc in range(min(cap, t), 0, -1):
+        if t % wc == 0:
+            return wc
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "use_exp2",
+                                             "out_dtype", "interpret"))
+def selective_scan_pallas_chain(u: jnp.ndarray,
+                                delta: jnp.ndarray,
+                                A: jnp.ndarray,
+                                B: jnp.ndarray,
+                                C: jnp.ndarray,
+                                D: jnp.ndarray,
+                                delta_bias: jnp.ndarray,
+                                reverse: bool = False,
+                                use_exp2: bool = True,
+                                out_dtype=None,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Chain-parallel selective scan over the TRANSPOSED spatial layout.
+
+    u/delta: [B, T, R, D] — R chains (R % 8 == 0) of T steps each; the
+    FULL sequence is chain 0, then chain 1, ... (exact S6 semantics across
+    chain boundaries via the summary pass). B/C: [B, T, R, N]; A: [D, N];
+    D/delta_bias: [D]. D must be a multiple of 128 (pad 360 -> 384; padded
+    tail channels with A=0, D=0, bias=0 contribute exactly zero).
+    reverse=True scans the whole sequence back-to-front. Returns y
+    [B, T, R, D] in ``out_dtype`` (default float32).
+    """
+    b, t, r, d = u.shape
+    n = A.shape[-1]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if r % 8 != 0:
+        raise ValueError(f"R ({r}) must be a multiple of 8")
+    if d % 128 != 0:
+        raise ValueError(f"D ({d}) must be a lane multiple (pad to 128s)")
+    out_dtype = out_dtype or jnp.float32
+    wc = _chain_chunk(t)
+    g = r // 8
+
+    a_rows = A.astype(jnp.float32).T  # [N, Dp]
+    if use_exp2:
+        a_rows = a_rows * jnp.float32(1.4426950408889634)  # log2(e)
+    dskip = D.astype(jnp.float32).reshape(1, d)
+    bias = delta_bias.astype(jnp.float32).reshape(1, d)
+
+    def blk(feat):
+        return pl.BlockSpec((1, wc, 8, feat),
+                            lambda bi, j, wi: (bi, wi, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(arr):
+        return pl.BlockSpec(arr.shape,
+                            lambda bi, j, wi: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out_pf = pl.BlockSpec((1, 1, 8, d * n),
+                          lambda bi, j, wi: (bi, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    p_sum, f_sum = pl.pallas_call(
+        functools.partial(_ss_chain_summary_kernel, dp=d, n=n,
+                          reverse=reverse, use_exp2=use_exp2),
+        grid=(b, g, t // wc),
+        in_specs=[blk(d), blk(d), blk(n), const(a_rows), const(bias)],
+        out_specs=[out_pf, out_pf],
+        out_shape=[jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+                   jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
+                        pltpu.VMEM((8, d * n), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, B, a_rows, bias)
+
+    # Compose chain maps s -> P*s + F across the R chains (sequence
+    # order), then shift one chain for the exclusive inits.
+    p_seq = p_sum.reshape(b, r, d * n)
+    f_seq = f_sum.reshape(b, r, d * n)
+    _, f_cum = lax.associative_scan(_scan_combine, (p_seq, f_seq), axis=1,
+                                    reverse=reverse)
+    if reverse:
+        init = jnp.concatenate(
+            [f_cum[:, 1:], jnp.zeros_like(f_cum[:, :1])], axis=1)
+    else:
+        init = jnp.concatenate(
+            [jnp.zeros_like(f_cum[:, :1]), f_cum[:, :-1]], axis=1)
+    init = init.reshape(b, g, 8, d * n)
+
+    init_spec = pl.BlockSpec((1, 1, 8, d * n),
+                             lambda bi, j, wi: (bi, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ss_chain_main_kernel, dp=d, n=n,
+                          reverse=reverse, use_exp2=use_exp2),
+        grid=(b, g, t // wc),
+        in_specs=[blk(d), blk(d), blk(n), blk(n), init_spec,
+                  const(a_rows), const(dskip), const(bias)],
+        out_specs=blk(d),
+        out_shape=jax.ShapeDtypeStruct((b, t, r, d), out_dtype),
+        scratch_shapes=[pltpu.VMEM((8, d * n), jnp.float32)],
+        interpret=interpret,
+    )(u, delta, B, C, init, a_rows, dskip, bias)

@@ -117,6 +117,28 @@ def main() -> None:
             return y[..., :d]
         variants["pad384_exp2"] = pad384_exp2
 
+    if hasattr(ss, "selective_scan_pallas_chain"):
+        # chain variant consumes the TRANSPOSED layout [B, T, R, D] with
+        # D padded to 384; build the transposed inputs once outside.
+        dp_ = 384
+        pad_last = [(0, 0), (0, 0), (0, 0), (0, dp_ - d)]
+        u_t = jnp.pad(u.transpose(0, 2, 1, 3), pad_last)      # [B, T, R, Dp]
+        dt_t = jnp.pad(dt.transpose(0, 2, 1, 3), pad_last)
+        b_t = B.transpose(0, 2, 1, 3)
+        c_t = C.transpose(0, 2, 1, 3)
+        A_p = jnp.pad(A, [(0, dp_ - d), (0, 0)])
+        D_p = jnp.pad(D, [(0, dp_ - d)])
+        bias_p = jnp.pad(bias, [(0, dp_ - d)])
+
+        def chain_v(u0):
+            # stay in the transposed-padded layout across the chain
+            # (kernel-only measurement, like the base variant)
+            u_in = u_t if u0.shape != u_t.shape else u0
+            return ss.selective_scan_pallas_chain(
+                u_in, dt_t, A_p, b_t, c_t, D_p, bias_p, reverse=rev,
+                out_dtype=dtype)
+        variants["chain"] = chain_v
+
     want = [v.strip() for v in args.variants.split(",") if v.strip()]
     for rep in range(2):
         print(f"--- pass {rep} ---", flush=True)

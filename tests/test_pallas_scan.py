@@ -146,3 +146,85 @@ def test_selective_scan_pallas_spatial_matches_flat():
         reverse=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got_b).reshape(b, l, d),
                                np.asarray(ref_b), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("t,r", [(32, 16), (24, 8)])
+def test_selective_scan_pallas_chain_matches_flat(t, r, reverse):
+    """Chain-parallel v5 kernel (transposed layout, summary + main pass)
+    vs the XLA scan over the flattened chain-order sequence."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_chain)
+
+    rng = np.random.default_rng(7)
+    b, d, n = 2, 128, 4
+    u = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    dt = (rng.normal(size=(b, t, r, d)) * 0.3).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (d, n))).astype(np.float32)
+    B = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    C = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    D = rng.normal(size=(d,)).astype(np.float32)
+    bias = (rng.normal(size=(d,)) * 0.1).astype(np.float32)
+
+    def to_seq(x):
+        return jnp.asarray(x).transpose(0, 2, 1, 3).reshape(
+            b, r * t, x.shape[-1])
+
+    sl = slice(None, None, -1) if reverse else slice(None)
+    ref = selective_scan(to_seq(u)[:, sl], to_seq(dt)[:, sl], jnp.asarray(A),
+                         to_seq(B)[:, sl], to_seq(C)[:, sl], jnp.asarray(D),
+                         delta_bias=jnp.asarray(bias), chunk=32)[:, sl]
+    ref = np.asarray(ref).reshape(b, r, t, d).transpose(0, 2, 1, 3)
+
+    got = selective_scan_pallas_chain(
+        jnp.asarray(u), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(D), jnp.asarray(bias), reverse=reverse,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5, rtol=2e-5)
+
+
+def test_selective_scan_pallas_chain_padded_tail_is_zero():
+    """Zero-padded channels (A=D=bias=0) must contribute exactly zero and
+    leave the real channels untouched (the 360->384 lane-alignment pad)."""
+    from freqfusion_tpu.ops.selective_scan import selective_scan_pallas_chain
+
+    rng = np.random.default_rng(8)
+    b, t, r, d, n, pad = 1, 16, 8, 128, 4, 128
+    u = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    dt = (rng.normal(size=(b, t, r, d)) * 0.3).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (d, n))).astype(np.float32)
+    B = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    C = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    D = rng.normal(size=(d,)).astype(np.float32)
+    bias = (rng.normal(size=(d,)) * 0.1).astype(np.float32)
+
+    base = selective_scan_pallas_chain(
+        jnp.asarray(u), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(D), jnp.asarray(bias), interpret=True)
+
+    pad_l = [(0, 0)] * 3 + [(0, pad)]
+    got = selective_scan_pallas_chain(
+        jnp.asarray(np.pad(u, pad_l)), jnp.asarray(np.pad(dt, pad_l)),
+        jnp.asarray(np.pad(A, [(0, pad), (0, 0)])), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(np.pad(D, [(0, pad)])),
+        jnp.asarray(np.pad(bias, [(0, pad)])), interpret=True)
+    np.testing.assert_allclose(np.asarray(got[..., :d]), np.asarray(base),
+                               atol=1e-6)
+    assert float(jnp.abs(got[..., d:]).max()) == 0.0
+
+
+def test_selective_scan_pallas_chain_validates_shapes():
+    from freqfusion_tpu.ops.selective_scan import selective_scan_pallas_chain
+
+    z = jnp.zeros((1, 8, 12, 128))  # R=12 not a multiple of 8
+    zn = jnp.zeros((1, 8, 12, 4))
+    with pytest.raises(ValueError):
+        selective_scan_pallas_chain(z, z, jnp.zeros((128, 4)), zn, zn,
+                                    jnp.zeros(128), jnp.zeros(128),
+                                    interpret=True)
+    z = jnp.zeros((1, 8, 16, 120))  # D not a lane multiple
+    zn = jnp.zeros((1, 8, 16, 4))
+    with pytest.raises(ValueError):
+        selective_scan_pallas_chain(z, z, jnp.zeros((120, 4)), zn, zn,
+                                    jnp.zeros(120), jnp.zeros(120),
+                                    interpret=True)
