@@ -735,6 +735,27 @@ def _ss_chain_main_kernel(u_ref, dt_ref, b_ref, c_ref, init_ref, a_ref,
     h_scr[:] = jnp.concatenate(hs, axis=1)
 
 
+
+def _chain_init_kernel(p_ref, f_ref, init_ref, c_scr, *, reverse: bool):
+    """Exclusive composition of chain maps s -> P*s + F in sequence order:
+    init[i] = F'[i-1] with F'[i] = P[i]*F'[i-1] + F[i] (mirrored for
+    reverse). One sequential pass in VMEM — the XLA associative_scan this
+    replaces cost ~2.4 ms/layer in log-depth slice/concat stages (the
+    dominant 'copy' bucket of the r3 MambaIR trace)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    carry = c_scr[:]
+    rows = range(7, -1, -1) if reverse else range(8)
+    for s in rows:
+        init_ref[0, 0, s: s + 1] = carry
+        carry = p_ref[0, 0, s: s + 1] * carry + f_ref[0, 0, s: s + 1]
+    c_scr[:] = carry
+
+
 def _chain_chunk(t: int, cap: int = 160) -> int:
     for wc in range(min(cap, t), 0, -1):
         if t % wc == 0:
@@ -811,18 +832,23 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
     )(u, delta, B, a_rows, bias)
 
     # Compose chain maps s -> P*s + F across the R chains (sequence
-    # order), then shift one chain for the exclusive inits.
-    p_seq = p_sum.reshape(b, r, d * n)
-    f_seq = f_sum.reshape(b, r, d * n)
-    _, f_cum = lax.associative_scan(_scan_combine, (p_seq, f_seq), axis=1,
-                                    reverse=reverse)
+    # order) into each chain's exclusive init — one sequential in-VMEM
+    # pallas pass over the tiny [R, N*D] summaries.
     if reverse:
-        init = jnp.concatenate(
-            [f_cum[:, 1:], jnp.zeros_like(f_cum[:, :1])], axis=1)
+        seq_map = lambda bi, j: (bi, g - 1 - j, 0, 0)
     else:
-        init = jnp.concatenate(
-            [jnp.zeros_like(f_cum[:, :1]), f_cum[:, :-1]], axis=1)
-    init = init.reshape(b, g, 8, d * n)
+        seq_map = lambda bi, j: (bi, j, 0, 0)
+    pf_spec = pl.BlockSpec((1, 1, 8, d * n), seq_map,
+                           memory_space=pltpu.VMEM)
+    init = pl.pallas_call(
+        functools.partial(_chain_init_kernel, reverse=reverse),
+        grid=(b, g),
+        in_specs=[pf_spec, pf_spec],
+        out_specs=pf_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+        interpret=interpret,
+    )(p_sum, f_sum)
 
     init_spec = pl.BlockSpec((1, 1, 8, d * n),
                              lambda bi, j, wi: (bi, j, 0, 0),
