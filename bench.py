@@ -88,9 +88,15 @@ def bench_full(h, w, scale):
                   for k in models}
     params["fusion"] = fake_init(fusion.init, init_lr, mock_imgs, mock_feats)
 
+    fusion_dtype = (None if expert_dtype == jnp.float32
+                    else expert_dtype)  # bf16 fusion: quality pinned by
+    # tests/test_bf16_quality.py; BENCH_FUSION_DTYPE=fp32 reverts
+    if os.environ.get("BENCH_FUSION_DTYPE") == "fp32":
+        fusion_dtype = None
     pipeline = FreqFusionPipeline(params, scale=scale, fusion_model=fusion,
                                   jit_mode="full", use_scan=True,
-                                  expert_dtype=expert_dtype)
+                                  expert_dtype=expert_dtype,
+                                  fusion_dtype=fusion_dtype)
     print(f"  expert dtype: {expert_dtype.__name__}", flush=True)
     t0 = time.perf_counter()
     float(jnp.sum(pipeline(lr)))  # sum forces real execution over the relay

@@ -117,12 +117,13 @@ def _dwt_conv(x: jnp.ndarray, filt: np.ndarray, axis: str) -> jnp.ndarray:
     """Depthwise stride-2 1-D wavelet conv along rows or cols (NHWC)."""
     c = x.shape[-1]
     k = len(filt)
+    filt_j = jnp.asarray(filt).astype(x.dtype)  # follow the compute dtype
     if axis == "w":
-        kernel = jnp.tile(jnp.asarray(filt).reshape(1, k, 1, 1), (1, 1, 1, c))
+        kernel = jnp.tile(filt_j.reshape(1, k, 1, 1), (1, 1, 1, c))
         strides, pad = (1, 2), [(0, 0), (0, 0)]
         x = pad_reflect(x, 0, 0, k - 1, k - 1)
     else:
-        kernel = jnp.tile(jnp.asarray(filt).reshape(k, 1, 1, 1), (1, 1, 1, c))
+        kernel = jnp.tile(filt_j.reshape(k, 1, 1, 1), (1, 1, 1, c))
         strides, pad = (2, 1), [(0, 0), (0, 0)]
         x = pad_reflect(x, k - 1, k - 1, 0, 0)
     return lax.conv_general_dilated(
@@ -164,6 +165,10 @@ class FFTDecomposition(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         h, w = x.shape[1], x.shape[2]
+        # FFT stays fp32 regardless of the network compute dtype (rfft
+        # rejects bf16, and spectral precision is worth the few MB)
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)
         logits = self.param(
             "freq_mask_logits",
             lambda rng: jnp.asarray(_radial_lowpass_logits(self.init_mask_size)))
@@ -191,7 +196,8 @@ class FFTDecomposition(nn.Module):
                                  norm="ortho")
             high = jnp.fft.irfft2(x_fft * (1.0 - mask), s=(h, w),
                                   axes=(1, 2), norm="ortho")
-        return [low * band_scale[0], high * band_scale[1]]
+        return [(low * band_scale[0]).astype(in_dtype),
+                (high * band_scale[1]).astype(in_dtype)]
 
 
 class AdaptiveBandFusion(nn.Module):

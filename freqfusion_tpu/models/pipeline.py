@@ -101,12 +101,16 @@ class FreqFusionPipeline:
     cached_dataset.py:176-203)."""
 
     FEATURE_CHANNELS = {"drct": 180, "grl": 180, "nafnet": 64, "mamba": 180}
+    # class-level defaults so tests building via __new__ keep working
+    expert_dtype = None
+    fusion_dtype = None
 
     def __init__(self, params: Dict[str, Any], scale: int = 4,
                  fusion_model: Optional[CompleteEnhancedFusionSR] = None,
                  scan_chunk: int = 512, jit_mode: str = "per_expert",
                  expert_dtype=None, use_scan: bool = False,
-                 model_overrides: Optional[Dict[str, Dict[str, Any]]] = None):
+                 model_overrides: Optional[Dict[str, Dict[str, Any]]] = None,
+                 fusion_dtype=None):
         """jit_mode: 'full' compiles experts+fusion as ONE XLA program
         (maximum fusion); 'per_expert' compiles one program per expert plus
         one for the fusion net — smaller compile units (and the only mode
@@ -114,8 +118,14 @@ class FreqFusionPipeline:
 
         expert_dtype: jnp.bfloat16 runs the frozen experts in bf16 (2x MXU
         rate, half the HBM traffic) — the TPU analogue of the reference's
-        fp16 autocast for MambaIR (io.py:263). The fusion net and the
-        selective-scan state stay fp32. None keeps everything fp32."""
+        fp16 autocast for MambaIR (io.py:263). The selective-scan state
+        stays fp32 regardless. None keeps everything fp32.
+
+        fusion_dtype: compute dtype for the fusion network (None = fp32,
+        the parity default). The round-3 trace put the 7-phase fusion at
+        465 ms/img fp32 on-device — no longer negligible next to the
+        bf16 experts — so benches run it bf16 (quality pinned by
+        tests/test_bf16_quality.py)."""
         params = dict(params)  # don't mutate the caller's tree
         if use_scan:
             params = restack_params_for_scan(params)
@@ -125,6 +135,13 @@ class FreqFusionPipeline:
                     params[name] = jax.tree_util.tree_map(
                         lambda x: x.astype(expert_dtype)
                         if hasattr(x, "astype") else x, params[name])
+        if fusion_dtype is not None and "fusion" in params:
+            params["fusion"] = jax.tree_util.tree_map(
+                lambda x: x.astype(fusion_dtype)
+                if hasattr(x, "astype") and jnp.issubdtype(
+                    getattr(x, "dtype", jnp.int32), jnp.floating) else x,
+                params["fusion"])
+        self.fusion_dtype = fusion_dtype
         self.params = params
         self.scale = scale
         self.jit_mode = jit_mode
@@ -148,14 +165,15 @@ class FreqFusionPipeline:
         imgs, feats = {}, {}
         x = (lr_padded if self.expert_dtype is None
              else lr_padded.astype(self.expert_dtype))
+        fdt = self.fusion_dtype or jnp.float32
         for name in EXPERT_ORDER:
             if name not in params:
                 continue
             sr, feat = self.models[name].apply(params[name], x)
             if name == "mamba":
                 sr = jnp.clip(sr, 0.0, 1.0)  # io.py:263
-            imgs[name] = sr.astype(jnp.float32)
-            feats[name] = feat.astype(jnp.float32)
+            imgs[name] = sr.astype(fdt)
+            feats[name] = feat.astype(fdt)
         return imgs, feats
 
     def _forward_full(self, params, lr: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +200,10 @@ class FreqFusionPipeline:
                 feats[name] = jnp.zeros(
                     (b, h, w, self.FEATURE_CHANNELS[name]), lr.dtype)
 
-        return self.fusion.apply(params["fusion"], lr, imgs, feats)
+        if self.fusion_dtype is not None:
+            lr = lr.astype(self.fusion_dtype)
+        out = self.fusion.apply(params["fusion"], lr, imgs, feats)
+        return out.astype(jnp.float32)
 
     def _forward_per_expert(self, lr: jnp.ndarray) -> jnp.ndarray:
         """Same semantics as _forward_full with one jit per expert
@@ -197,11 +218,12 @@ class FreqFusionPipeline:
         imgs, feats = {}, {}
         x = (lr_padded if self.expert_dtype is None
              else lr_padded.astype(self.expert_dtype))
+        fdt = self.fusion_dtype or jnp.float32
         for name in EXPERT_ORDER:
             if name in self.params:
                 sr, f = self._jit_one[name](self.params[name], x)
-                sr = sr.astype(jnp.float32)
-                f = f.astype(jnp.float32)
+                sr = sr.astype(fdt)
+                f = f.astype(fdt)
                 if name == "mamba":
                     sr = jnp.clip(sr, 0.0, 1.0)
                 imgs[name] = sr[:, : h * s, : w * s, :]
@@ -211,10 +233,13 @@ class FreqFusionPipeline:
                     f = f[:, :h, :w, :]
                 feats[name] = f
             else:
-                imgs[name] = resize_bilinear(lr, h * s, w * s)
+                imgs[name] = resize_bilinear(lr, h * s, w * s).astype(fdt)
                 feats[name] = jnp.zeros(
-                    (b, h, w, self.FEATURE_CHANNELS[name]), lr.dtype)
-        return self._jit_fusion(self.params["fusion"], lr, imgs, feats)
+                    (b, h, w, self.FEATURE_CHANNELS[name]), fdt)
+        if self.fusion_dtype is not None:
+            lr = lr.astype(self.fusion_dtype)
+        out = self._jit_fusion(self.params["fusion"], lr, imgs, feats)
+        return out.astype(jnp.float32)
 
     # -- public ------------------------------------------------------------
     def __call__(self, lr: jnp.ndarray) -> jnp.ndarray:

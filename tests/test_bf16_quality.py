@@ -85,3 +85,38 @@ def test_bf16_full_pipeline_psnr_budget():
     # self-PSNR >= 45 dB ==> well under 0.05 dB end-to-end at the ~35 dB
     # operating point
     assert p > 45.0, f"bf16 pipeline deviation too large: {p:.1f} dB"
+
+
+def test_bf16_fusion_dtype_psnr_budget():
+    """fusion_dtype=bf16 (the bench default once the fusion net was
+    measured at 465 ms/img fp32 — no longer negligible) must stay within
+    the same self-PSNR budget vs the fp32 fusion."""
+    from freqfusion_tpu.models.fusion.fusion_v2 import CompleteEnhancedFusionSR
+    from freqfusion_tpu.models.pipeline import FreqFusionPipeline
+
+    rng = np.random.default_rng(1)
+    lr_np = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    feat_ch = {"drct": 60, "grl": 48, "nafnet": 16, "mamba": 60}
+    fusion = CompleteEnhancedFusionSR(upscale=4)
+    imgs = {k: jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3))
+                           .astype(np.float32)) for k in feat_ch}
+    feats = {k: jnp.asarray(rng.normal(size=(1, 16, 16, c))
+                            .astype(np.float32)) for k, c in feat_ch.items()}
+    variables = fusion.init(jax.random.PRNGKey(3), jnp.asarray(lr_np),
+                            imgs, feats)
+
+    sr32 = np.asarray(fusion.apply(variables, jnp.asarray(lr_np), imgs,
+                                   feats))
+    v16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+    sr16 = np.asarray(fusion.apply(
+        v16, jnp.asarray(lr_np).astype(jnp.bfloat16),
+        {k: v.astype(jnp.bfloat16) for k, v in imgs.items()},
+        {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
+    ).astype(jnp.float32))
+
+    from freqfusion_tpu.utils.metrics import psnr
+    p = float(psnr(jnp.asarray(np.clip(sr16, 0, 1)),
+                   jnp.asarray(np.clip(sr32, 0, 1))))
+    assert p > 45.0, f"bf16 fusion deviation too large: {p:.1f} dB"
