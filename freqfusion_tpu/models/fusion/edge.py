@@ -33,7 +33,8 @@ def gaussian_blur_5x5(x: jnp.ndarray, sigma: float = 1.5) -> jnp.ndarray:
     """Fixed depthwise Gaussian blur, SAME (zero) padding like torch conv2d."""
     c = x.shape[-1]
     k = _gaussian_kernel_np(5, sigma)
-    kernel = jnp.tile(jnp.asarray(k)[:, :, None, None], (1, 1, 1, c))
+    kernel = jnp.tile(jnp.asarray(k).astype(x.dtype)[:, :, None, None],
+                      (1, 1, 1, c))
     return lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding=[(2, 2), (2, 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)

@@ -109,7 +109,8 @@ class DCTDecomposition(nn.Module):
             spatial = jnp.einsum("ki,...kl,lj->...ij", basis, masked, basis,
                                  preferred_element_type=jnp.float32)
             img = spatial.transpose(0, 1, 4, 2, 5, 3).reshape(b, hp, wp, c)
-            out.append(img[:, :h, :w, :] * band_scale[band])
+            out.append((img[:, :h, :w, :] * band_scale[band]
+                        ).astype(x.dtype))
         return out
 
 

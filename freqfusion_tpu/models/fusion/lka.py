@@ -105,7 +105,7 @@ class TokenMultiheadAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         logits = jnp.einsum("...qd,...kd->...qk", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(hd)
-        weights = nn.softmax(logits, axis=-1)
+        weights = nn.softmax(logits, axis=-1).astype(x.dtype)
         if self.dropout > 0.0:
             weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("...qk,...kd->...qd", weights, v)
