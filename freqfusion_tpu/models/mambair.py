@@ -29,6 +29,7 @@ import math
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,16 +46,47 @@ class _SplitProj(nn.Module):
     """in_proj as two half-width matmuls from one shared kernel — same
     params/state-dict layout as Dense(2*d_inner), but the [.., 2*D] xz
     tensor is never materialized (its split cost ~15 ms/img in the
-    round-3 trace)."""
+    round-3 trace). ``pad_x`` zero-pads the x-half's OUTPUT columns so xc
+    is born lane-aligned for the chain scan kernels (no pad op on the
+    [B, H, W, D] activation)."""
 
     features: int
+    pad_x: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         kern = self.param("kernel", nn.initializers.lecun_normal(),
                           (x.shape[-1], self.features))
         half = self.features // 2
-        return x @ kern[:, :half], x @ kern[:, half:]
+        kx = kern[:, :half]
+        if self.pad_x:
+            kx = jnp.pad(kx, [(0, 0), (0, self.pad_x)])
+        return x @ kx, x @ kern[:, half:]
+
+
+class _DWConv(nn.Module):
+    """Depthwise conv with the nn.Conv param layout ('kernel'/'bias'),
+    zero-padded at APPLY time to ``pad_c`` extra channels (zero taps keep
+    the padded channels exactly zero through silu)."""
+
+    d_inner: int
+    d_conv: int
+    pad_c: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kern = self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.d_conv, self.d_conv, 1, self.d_inner))
+        bias = self.param("bias", nn.initializers.zeros, (self.d_inner,))
+        if self.pad_c:
+            kern = jnp.pad(kern, [(0, 0)] * 3 + [(0, self.pad_c)])
+            bias = jnp.pad(bias, [(0, self.pad_c)])
+        pad = (self.d_conv - 1) // 2
+        return jax.lax.conv_general_dilated(
+            x, kern.astype(x.dtype), (1, 1), [(pad, pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.d_inner + self.pad_c) + bias.astype(
+                x.dtype)
 
 
 class SS2D(nn.Module):
@@ -75,12 +107,23 @@ class SS2D(nn.Module):
         n = self.d_state
         k = 4
 
-        xc, z = _SplitProj(d_inner * 2, name="in_proj")(x)
+        import os
 
-        xc = nn.Conv(d_inner, (self.d_conv, self.d_conv),
-                     padding=[((self.d_conv - 1) // 2,) * 2] * 2,
-                     feature_group_count=d_inner, name="conv2d")(xc)
-        xc = nn.silu(xc)                                  # [B, H, W, D]
+        from ..ops.dispatch import use_pallas
+        pallas = use_pallas()
+        spatial_ok = pallas and h % 8 == 0 and w % 8 == 0
+        impl = os.environ.get("FREQFUSION_SCAN", "chain")
+        chain = spatial_ok and impl == "chain"
+        spatial = spatial_ok and not chain
+        dp = -(-d_inner // 128) * 128 if chain else d_inner
+        pad_d = dp - d_inner
+
+        # With the chain kernels, xc is born 384-wide straight from the
+        # projection + depthwise conv (weights padded at apply time) —
+        # zero pad ops on activations anywhere in the scan path.
+        xc, z = _SplitProj(d_inner * 2, pad_x=pad_d, name="in_proj")(x)
+        xc = _DWConv(d_inner, self.d_conv, pad_c=pad_d, name="conv2d")(xc)
+        xc = nn.silu(xc)                           # [B, H, W, Dp]
 
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.normal(0.02),
@@ -101,20 +144,13 @@ class SS2D(nn.Module):
         A = -jnp.exp(A_logs.astype(jnp.float32)).reshape(k, d_inner, n)
         Dsk = Ds.astype(jnp.float32).reshape(k, d_inner)
 
-        # Direction layouts over [B, L, D] (forward_core :339-369):
-        # 0: row-major; 1: column-major; 2/3: their reversals.
-        x_row = xc.reshape(b, l, d_inner)
-        x_col = xc.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
-        dirs = (x_row, x_col, x_row[:, ::-1], x_col[:, ::-1])
+        if not chain:
+            # Direction layouts over [B, L, D] (forward_core :339-369):
+            # 0: row-major; 1: column-major; 2/3: their reversals.
+            x_row = xc.reshape(b, l, d_inner)
+            x_col = xc.transpose(0, 2, 1, 3).reshape(b, l, d_inner)
+            dirs = (x_row, x_col, x_row[:, ::-1], x_col[:, ::-1])
 
-        import os
-
-        from ..ops.dispatch import use_pallas
-        pallas = use_pallas()
-        spatial_ok = pallas and h % 8 == 0 and w % 8 == 0
-        impl = os.environ.get("FREQFUSION_SCAN", "chain")
-        chain = spatial_ok and impl == "chain"
-        spatial = spatial_ok and not chain
         if chain:
             # Chain-parallel kernels (v5): each direction scans 8
             # consecutive chains (image rows / columns) in the sublanes
@@ -129,8 +165,6 @@ class SS2D(nn.Module):
             # summary pass + O(rows) associative scan inside the wrapper.
             from ..ops.selective_scan import selective_scan_pallas_chain
 
-            dp = -(-d_inner // 128) * 128
-            pad_d = dp - d_inner
             A_p = jnp.pad(A, [(0, 0), (0, pad_d), (0, 0)])
             D_p = jnp.pad(Dsk, [(0, 0), (0, pad_d)])
             bias_p = jnp.pad(dt_projs_bias.astype(jnp.float32),
@@ -140,17 +174,19 @@ class SS2D(nn.Module):
             # row dirs (weights 0/2) scan T=W -> the transpose layout;
             # col dirs (weights 1/3) scan T=H -> the NHWC tensor itself
             # dt projection weights padded on the OUTPUT dim so dts comes
-            # out of the matmul already 384-wide (no separate pad op)
+            # out of the matmul already 384-wide; x_proj contraction
+            # weights padded on the INPUT dim to match the padded xc
             dtw_p = jnp.pad(dt_projs_weight, [(0, 0), (0, pad_d), (0, 0)])
+            xpw_p = jnp.pad(x_proj_weight, [(0, 0), (0, 0), (0, pad_d)])
             for sel, x_lay in ((slice(0, None, 2), xc_t),
                                (slice(1, None, 2), xc)):
-                u_p = jnp.pad(x_lay, [(0, 0)] * 3 + [(0, pad_d)])
+                u_p = x_lay
                 y_pair = None
                 # per-direction einsums (no [k, ...] stack to slice —
                 # the k-axis slices cost real copies per the trace)
                 for j, rev in enumerate((False, True)):
                     k_idx = sel.indices(4)[0] + 2 * j     # 0/2 or 1/3
-                    wk = x_proj_weight[k_idx]             # [C, D]
+                    wk = xpw_p[k_idx]                     # [C, Dp]
                     dt_low = jnp.einsum(
                         "btrd,cd->btrc", x_lay, wk[:dt_rank],
                         preferred_element_type=jnp.float32)
