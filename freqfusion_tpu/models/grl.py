@@ -76,6 +76,12 @@ class AffineTransform(nn.Module):
         bias = bias.reshape(n1, n2, -1).transpose(2, 0, 1)
         return 16.0 * nn.sigmoid(bias)
 
+    def scale_vec(self, head_dim: int) -> jnp.ndarray:
+        """Clamped per-head logit scale as a [C] channel vector, for
+        folding into q outside a fused kernel."""
+        s = jnp.exp(jnp.minimum(self.logit_scale, np.log(1.0 / 0.01)))
+        return jnp.repeat(s.reshape(-1), head_dim)
+
     def __call__(self, attn: jnp.ndarray, table: jnp.ndarray,
                  index: np.ndarray,
                  mask: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -116,78 +122,132 @@ def _merge(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b_, n, h * d)
 
 
+def _norm_lanes(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Per-head L2 normalization over channel blocks of an NHWC tensor
+    (fp32 accumulation, torch F.normalize eps semantics)."""
+    hd = x.shape[-1] // num_heads
+    xh = x.reshape(*x.shape[:-1], num_heads, hd)
+    xh = xh / jnp.maximum(jnp.linalg.norm(xh, axis=-1, keepdims=True), 1e-12)
+    return xh.reshape(*x.shape)
+
+
+class _SplitQKV6(nn.Module):
+    """qkv projection as six separate dots on static weight slices (same
+    ``qkv/{kernel,bias}`` param layout as Dense(3C), torch conversion
+    unchanged): window q/k/v then stripe q/k/v, each C/2 wide. The packed
+    [.., 3C] tensor and its window/stripe + q/k/v split copies never
+    materialize (mixed_attn_block_efficient.py:282-340 splits eagerly)."""
+
+    dim: int  # C
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        c = self.dim
+        c2 = c // 2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], 3 * c))
+        bias = self.param("bias", nn.initializers.zeros, (3 * c,))
+        kernel = kernel.astype(x.dtype)
+        bias = bias.astype(x.dtype)
+        return tuple(jnp.dot(x, kernel[:, i * c2:(i + 1) * c2])
+                     + bias[i * c2:(i + 1) * c2] for i in range(6))
+
+
+class _ProjPair(nn.Module):
+    """Output projection taking the window/stripe halves separately —
+    same ``proj/{kernel,bias}`` layout as Dense(C) on their concat, but
+    the concat copy never materializes."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, xw: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+        c2 = xw.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2 * c2, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(xw.dtype)
+        return (jnp.dot(xw, kernel[:c2]) + jnp.dot(xs, kernel[c2:])
+                + bias.astype(xw.dtype))
+
+
 class WindowAttentionGRL(nn.Module):
     """Half-channel 8x8 (shifted) window attention with cosine similarity
-    (mixed_attn_block_efficient.py:98-165).
+    (mixed_attn_block_efficient.py:98-165). Takes q/k/v as separate NHWC
+    tensors (from the split-weight qkv projection).
 
-    On TPU the cosine attention routes through the fused Pallas window
-    kernel: q/k are L2-normalized and the clamped logit scale is folded
-    into q per head *outside* the kernel (both elementwise, XLA-fused), so
-    the generic scaled-dot-product kernel computes the identical map with
-    the CPB bias (+16*sigmoid) passed as its additive bias."""
+    Routes: GRL-B geometry (stripe == window tile) goes through the
+    combined mixed-attention kernel driven by MixedAttention, using
+    ``kernel_inputs`` here; large windows (N >= 256) use the window-only
+    NHWC kernel; otherwise the batched einsum path."""
 
     window_size: int
     num_heads: int
     shift: bool
 
-    @nn.compact
-    def __call__(self, qkv: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c3 = qkv.shape
-        c = c3 // 3
+    def setup(self):
+        self.attn_transform = AffineTransform(self.num_heads)
+
+    def _tables(self):
+        ws = self.window_size
+        table = jnp.asarray(relative_coords_table_all((ws, ws), 1))
+        index = relative_position_index_simple((ws, ws), 1, True)
+        return table, index
+
+    def kernel_inputs(self, q: jnp.ndarray, k: jnp.ndarray):
+        """Fold L2 normalization + clamped logit scale into q (elementwise,
+        XLA-fused) and produce the CPB bias, for the window-only NHWC
+        kernel. linalg.norm accumulates fp32 — pin back to compute dtype."""
+        ws = self.window_size
+        n = ws * ws
+        table, index = self._tables()
+        hd = q.shape[-1] // self.num_heads
+        qn = (_norm_lanes(q, self.num_heads)
+              * self.attn_transform.scale_vec(hd)).astype(q.dtype)
+        kn = _norm_lanes(k, self.num_heads).astype(q.dtype)
+        bias = self.attn_transform.bias_value(table, index, n, n)
+        return qn, kn, bias
+
+    def mixed_kernel_inputs(self):
+        """Clamped per-head logit scale [nH, 1, 1] + CPB bias for the
+        combined mixed-attention kernel (normalization happens in-kernel)."""
+        ws = self.window_size
+        n = ws * ws
+        table, index = self._tables()
+        scale = jnp.exp(jnp.minimum(self.attn_transform.logit_scale_value(),
+                                    np.log(1.0 / 0.01)))
+        bias = self.attn_transform.bias_value(table, index, n, n)
+        return scale, bias
+
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray,
+                 v: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = q.shape
         ws = self.window_size
         ss = ws // 2 if self.shift else 0
         if ss:
-            qkv = jnp.roll(qkv, shift=(-ss, -ss), axis=(1, 2))
+            q, k, v = (jnp.roll(t, shift=(-ss, -ss), axis=(1, 2))
+                       for t in (q, k, v))
         n = ws * ws
-        table = jnp.asarray(relative_coords_table_all((ws, ws), 1))
-        index = relative_position_index_simple((ws, ws), 1, True)
+        table, index = self._tables()
         mask_np = window_shift_mask(h, w, ws, ss)
         mask = None if mask_np is None else jnp.asarray(mask_np)
 
-        transform = AffineTransform(self.num_heads, name="attn_transform")
-
         from ..ops.dispatch import use_pallas
-        # NHWC-direct kernel route for large windows only: at GRL-B's
-        # 64-token windows the batched einsum measured faster than the
-        # kernel loop over tiny [64, hd] dots (0.67 vs 0.72 s/img bf16,
-        # even with partition copies eliminated — the stripe attention
-        # partitions regardless). The cosine form folds per-head L2
-        # normalization and the clamped logit scale into q/k outside the
-        # kernel (elementwise, XLA-fused).
         if use_pallas() and n >= 256 and h % ws == 0 and w % ws == 0:
             from ..ops.pallas_attention import fused_window_attention_nhwc
-            qf, kf, vf = jnp.split(qkv, 3, axis=-1)       # spatial [B,H,W,C]
-            hd = c // self.num_heads
-
-            def norm_lanes(x):  # per-head L2 normalize over the lane blocks
-                xh = x.reshape(*x.shape[:-1], self.num_heads, hd)
-                xh = xh / jnp.maximum(
-                    jnp.linalg.norm(xh, axis=-1, keepdims=True), 1e-12)
-                return xh.reshape(*x.shape)
-
-            qn, kn = norm_lanes(qf), norm_lanes(kf)
-            scale_h = jnp.exp(jnp.minimum(transform.logit_scale_value(),
-                                          np.log(1.0 / 0.01)))  # [nH,1,1]
-            scale_vec = jnp.repeat(scale_h.reshape(-1), hd)       # [C]
-            # linalg.norm accumulates in fp32 — pin back to the network
-            # compute dtype so a bf16 scan carry stays bf16
-            qn = (qn * scale_vec).astype(qkv.dtype)
-            kn = kn.astype(qkv.dtype)
-            bias = transform.bias_value(table, index, n, n)       # [nH,N,N]
-            out = fused_window_attention_nhwc(qn, kn, vf, bias, mask,
+            qn, kn, bias = self.kernel_inputs(q, k)
+            out = fused_window_attention_nhwc(qn, kn, v, bias, mask,
                                               num_heads=self.num_heads,
                                               window_size=ws, scale=1.0)
         else:
-            qkv_w = window_partition(qkv, ws)  # [B_, N, 3C]
-            q, k, v = [
-                _heads(t, self.num_heads)
-                for t in jnp.split(qkv_w, 3, axis=-1)]
-            attn = _cosine_attn(q, k)
-            attn = transform(attn, table, index, mask)
+            qh, kh, vh = [_heads(window_partition(t, ws), self.num_heads)
+                          for t in (q, k, v)]
+            attn = _cosine_attn(qh, kh)
+            attn = self.attn_transform(attn, table, index, mask)
             out = _merge(jnp.einsum("bhnm,bhmd->bhnd",
-                                    _softmax(attn).astype(v.dtype), v,
+                                    _softmax(attn).astype(vh.dtype), vh,
                                     preferred_element_type=jnp.float32
-                                    ).astype(qkv.dtype))
+                                    ).astype(q.dtype))
             out = window_reverse(out, ws, h, w)
         if ss:
             out = jnp.roll(out, shift=(ss, ss), axis=(1, 2))
@@ -197,46 +257,67 @@ class WindowAttentionGRL(nn.Module):
 class AnchorStripeAttention(nn.Module):
     """Two-step anchored attention: anchor<-window then query<-anchor
     (mixed_attn_block_efficient.py:177-279). GRL-B: static 8x8 stripes,
-    4x4 anchors, no stripe shift."""
+    4x4 anchors, no stripe shift. Takes q/k/v + anchor as separate NHWC
+    tensors."""
 
     stripe_size: Tuple[int, int]
     num_heads: int
     down_factor: int = 2
 
-    @nn.compact
-    def __call__(self, qkv: jnp.ndarray, anchor: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c3 = qkv.shape
-        c = c3 // 3
+    def setup(self):
+        self.attn_transform1 = AffineTransform(self.num_heads)
+        self.attn_transform2 = AffineTransform(self.num_heads)
+
+    def _tables(self):
         sh, sw = self.stripe_size
-        ah, aw = sh // self.down_factor, sw // self.down_factor
-
-        qkv_w = window_partition(qkv, sh, sw)            # [B_, N1, 3C]
-        anchor_w = window_partition(anchor, ah, aw)      # [B_, N2, C]
-        q, k, v = [_heads(t, self.num_heads)
-                   for t in jnp.split(qkv_w, 3, axis=-1)]
-        a = _heads(anchor_w, self.num_heads)
-
         table = jnp.asarray(
             relative_coords_table_all((sh, sw), self.down_factor))
         index_a2w = relative_position_index_simple(
             (sh, sw), self.down_factor, False)
         index_w2a = relative_position_index_simple(
             (sh, sw), self.down_factor, True)
+        return table, index_a2w, index_w2a
+
+    def mixed_kernel_inputs(self):
+        """Clamped per-head logit scales [nH, 1, 1] + CPB biases for the
+        combined mixed-attention kernel (normalization happens in-kernel)."""
+        sh, sw = self.stripe_size
+        n = sh * sw
+        na = n // (self.down_factor ** 2)
+        table, index_a2w, index_w2a = self._tables()
+        clamp = np.log(1.0 / 0.01)
+        s1 = jnp.exp(jnp.minimum(self.attn_transform1.logit_scale_value(),
+                                 clamp))
+        s2 = jnp.exp(jnp.minimum(self.attn_transform2.logit_scale_value(),
+                                 clamp))
+        bias_s1 = self.attn_transform1.bias_value(table, index_a2w, na, n)
+        bias_s2 = self.attn_transform2.bias_value(table, index_w2a, n, na)
+        return s1, s2, bias_s1, bias_s2
+
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 anchor: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = q.shape
+        sh, sw = self.stripe_size
+        ah, aw = sh // self.down_factor, sw // self.down_factor
+
+        qh, kh, vh = [_heads(window_partition(t, sh, sw), self.num_heads)
+                      for t in (q, k, v)]
+        a = _heads(window_partition(anchor, ah, aw), self.num_heads)
+
+        table, index_a2w, index_w2a = self._tables()
 
         # stage 1: anchor attends to the window (keys/values)
-        attn1 = _cosine_attn(a, k)
-        attn1 = AffineTransform(self.num_heads, name="attn_transform1")(
-            attn1, table, index_a2w, None)
-        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn1).astype(v.dtype),
-                       v,
-                       preferred_element_type=jnp.float32).astype(qkv.dtype)
+        attn1 = _cosine_attn(a, kh)
+        attn1 = self.attn_transform1(attn1, table, index_a2w, None)
+        x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn1).astype(vh.dtype),
+                       vh,
+                       preferred_element_type=jnp.float32).astype(q.dtype)
         # stage 2: queries attend to the anchor summary
-        attn2 = _cosine_attn(q, a)
-        attn2 = AffineTransform(self.num_heads, name="attn_transform2")(
-            attn2, table, index_w2a, None)
+        attn2 = _cosine_attn(qh, a)
+        attn2 = self.attn_transform2(attn2, table, index_w2a, None)
         x = jnp.einsum("bhnm,bhmd->bhnd", _softmax(attn2).astype(x.dtype),
                        x,
-                       preferred_element_type=jnp.float32).astype(qkv.dtype)
+                       preferred_element_type=jnp.float32).astype(q.dtype)
 
         return window_reverse(_merge(x), sh, h, w, sw)
 
@@ -277,21 +358,49 @@ class MixedAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.dim
-        qkv = nn.Dense(3 * c, name="qkv")(x)           # [B,H,W,3C]
-        qkv_window = qkv[..., : 3 * c // 2]
-        qkv_stripe = qkv[..., 3 * c // 2:]
+        c2 = c // 2
+        b, h, w, _ = x.shape
+        qw, kw, vw, qs, ks, vs = _SplitQKV6(c, name="qkv")(x)
         # anchor: avgpool 2x + linear to C/2 (AnchorLinear,
         # mixed_attn_block.py:712-736)
-        anchor = nn.Dense(c // 2, name="anchor")(avg_pool_2x2(x))
+        anchor = nn.Dense(c2, name="anchor")(avg_pool_2x2(x))
 
-        x_window = WindowAttentionGRL(
+        window = WindowAttentionGRL(
             self.window_size, self.num_heads_w, self.window_shift,
-            name="window_attn")(qkv_window)
-        x_stripe = AnchorStripeAttention(
+            name="window_attn")
+        stripe = AnchorStripeAttention(
             self.stripe_size, self.num_heads_s, self.anchor_down_factor,
-            name="stripe_attn")(qkv_stripe, anchor)
-        out = jnp.concatenate([x_window, x_stripe], axis=-1)
-        return nn.Dense(c, name="proj")(out)
+            name="stripe_attn")
+
+        from ..ops.dispatch import use_pallas
+        ws = self.window_size
+        # Combined mixed-attention kernel: GRL-B geometry only (stripe
+        # tile == window tile, both divide the padded H/W).
+        if (use_pallas() and tuple(self.stripe_size) == (ws, ws)
+                and h % ws == 0 and w % ws == 0
+                and c2 % self.num_heads_w == 0
+                and c2 % self.num_heads_s == 0):
+            from ..ops.pallas_attention import fused_grl_mixed_attention_nhwc
+            ss = ws // 2 if self.window_shift else 0
+            scale_w, bias_w = window.mixed_kernel_inputs()
+            qwn, kwn, vwn = qw, kw, vw
+            if ss:
+                qwn, kwn, vwn = (jnp.roll(t, shift=(-ss, -ss), axis=(1, 2))
+                                 for t in (qwn, kwn, vwn))
+            mask_np = window_shift_mask(h, w, ws, ss)
+            mask = None if mask_np is None else jnp.asarray(mask_np)
+            s1, s2, bias_s1, bias_s2 = stripe.mixed_kernel_inputs()
+            x_window, x_stripe = fused_grl_mixed_attention_nhwc(
+                qwn, kwn, vwn, qs, ks, vs, anchor, scale_w, s1, s2,
+                bias_w, bias_s1, bias_s2, mask,
+                num_heads_w=self.num_heads_w, num_heads_s=self.num_heads_s,
+                window_size=ws, down_factor=self.anchor_down_factor)
+            if ss:
+                x_window = jnp.roll(x_window, shift=(ss, ss), axis=(1, 2))
+        else:
+            x_window = window(qw, kw, vw)
+            x_stripe = stripe(qs, ks, vs, anchor)
+        return _ProjPair(c, name="proj")(x_window, x_stripe)
 
 
 class EfficientMixAttnTransformerBlock(nn.Module):

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention", "fused_window_attention_nhwc"]
+__all__ = ["fused_window_attention", "fused_window_attention_nhwc",
+           "fused_grl_mixed_attention_nhwc"]
 
 
 def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
@@ -271,6 +272,252 @@ def fused_window_attention_nhwc(q: jnp.ndarray, k: jnp.ndarray,
             flops=flops_per * b * nw,
             bytes_accessed=4 * b * hh * ww_ * c * q.dtype.itemsize,
             transcendentals=b * nw * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# GRL mixed attention: window + anchored-stripe halves in ONE NHWC pass
+# ---------------------------------------------------------------------------
+#
+# GRL-B's 8x8 windows were measured too small for the window-only NHWC
+# kernel to beat the einsum route (0.72 vs 0.67 s/img), because the stripe
+# half still paid XLA window_partition/window_reverse + head transposes
+# regardless — the round-3 GRL trace shows a 218 ms copy bucket (a third
+# of the expert) plus 54 ms of fp32 softmax/norm reduction materialization.
+# GRL-B pins stripe_size == window_size == 8 (grl/__init__.py:76-160), so
+# both halves share tile geometry: this kernel computes, per 8x8 tile,
+#   - the cosine window attention (bias + optional shift mask), and
+#   - the two-step anchored stripe attention (anchor<-window over the 4x4
+#     anchor tile, then query<-anchor; mixed_attn_block_efficient.py:177-279)
+# entirely in VMEM, so the surrounding graph keeps plain NHWC layout and
+# every partition/head copy disappears. L2 normalization and the clamped
+# logit scales are folded into the q/anchor operands outside (elementwise,
+# XLA-fused); softmax accumulates fp32 like the einsum path.
+
+
+_BATCHED_DOT = (((2,), (2,)), ((0,), (0,)))   # [W,N,hd] x [W,M,hd] -> [W,N,M]
+_BATCHED_PV = (((2,), (1,)), ((0,), (0,)))    # [W,N,M] x [W,M,hd] -> [W,N,hd]
+
+
+def _tiles(ref, tile: int, wpb: int, c: int):
+    """[1, t, t*wpb, C] block -> [wpb, t*t, C] window-batched form.
+    The merge touches only leading/sublane dims (lanes stay C-contiguous),
+    which Mosaic relayouts cheaply."""
+    x = ref[0].reshape(tile, wpb, tile, c)
+    return x.transpose(1, 0, 2, 3).reshape(wpb, tile * tile, c)
+
+
+def _untile(x, tile: int, wpb: int, c: int):
+    """[wpb, t*t, C] -> [1, t, t*wpb, C] (inverse of _tiles)."""
+    x = x.reshape(wpb, tile, tile, c).transpose(1, 0, 2, 3)
+    return x.reshape(1, tile, tile * wpb, c)
+
+
+def _bsoftmax(attn):
+    attn = attn - attn.max(axis=-1, keepdims=True)
+    attn = jnp.exp(attn)
+    return attn / attn.sum(axis=-1, keepdims=True)
+
+
+def _head_seg(c: int, nh: int) -> jnp.ndarray:
+    """[C, nH] 0/1 head-membership matrix, built from iota in-kernel."""
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, nh), 0)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (c, nh), 1)
+    return (ci // (c // nh) == hi).astype(jnp.float32)
+
+
+def _cosnorm(x, seg, dt):
+    """Per-head L2 normalization of [W, N, C] in VMEM (torch F.normalize
+    eps semantics). The per-head sum-of-squares and its broadcast back to
+    channels ride two tiny MXU dots against the 0/1 segment matrix —
+    no lane-misaligned reductions (hd=30 blocks are not lane-aligned)."""
+    xf = x.astype(jnp.float32)
+    ss = jax.lax.dot_general(xf * xf, seg,
+                             (((2,), (0,)), ((), ())))        # [W, N, nH]
+    inv = 1.0 / jnp.maximum(jnp.sqrt(ss), 1e-12)
+    invc = jax.lax.dot_general(inv, seg,
+                               (((2,), (1,)), ((), ())))      # [W, N, C]
+    return (xf * invc).astype(dt)
+
+
+def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
+                    a_ref, sw_ref, s1_ref, s2_ref,
+                    bias_w_ref, bias_s1_ref, bias_s2_ref,
+                    mask_ref, ow_ref, os_ref, num_heads_w: int,
+                    num_heads_s: int, ws: int, df: int, wpb: int):
+    c = qw_ref.shape[3]
+    aws = ws // df
+    hdw = c // num_heads_w
+    hds = c // num_heads_s
+    dt = qw_ref.dtype
+    f32 = jnp.float32
+    seg_w = _head_seg(c, num_heads_w)
+    seg_s = _head_seg(c, num_heads_s)
+
+    # All wpb windows of the step ride a batch dimension: one dot_general
+    # pair per head instead of per (window, head), and softmax vectorizes
+    # over [wpb*N, N] — per-step instruction count drops ~wpb-fold. The
+    # clamped logit scale is a per-head scalar, so it commutes with the
+    # cosine dot and multiplies the attention logits here instead of q.
+    qw = _cosnorm(_tiles(qw_ref, ws, wpb, c), seg_w, dt)
+    kw = _cosnorm(_tiles(kw_ref, ws, wpb, c), seg_w, dt)
+    vw = _tiles(vw_ref, ws, wpb, c)
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    heads = []
+    for h in range(num_heads_w):
+        sl = slice(h * hdw, (h + 1) * hdw)
+        attn = jax.lax.dot_general(qw[:, :, sl], kw[:, :, sl],
+                                   dimension_numbers=_BATCHED_DOT,
+                                   preferred_element_type=f32)  # [W,N,N]
+        attn = attn * sw_ref[h].astype(f32)
+        attn = attn + bias_w_ref[h].astype(f32)[None]
+        if mask is not None:
+            attn = attn + mask
+        heads.append(jax.lax.dot_general(
+            _bsoftmax(attn).astype(dt), vw[:, :, sl],
+            dimension_numbers=_BATCHED_PV,
+            preferred_element_type=f32).astype(dt))             # [W,N,hd]
+    ow_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
+
+    qs = _cosnorm(_tiles(qs_ref, ws, wpb, c), seg_s, dt)
+    ks = _cosnorm(_tiles(ks_ref, ws, wpb, c), seg_s, dt)
+    vs = _tiles(vs_ref, ws, wpb, c)
+    an = _cosnorm(_tiles(a_ref, aws, wpb, c), seg_s, dt)
+    heads = []
+    for h in range(num_heads_s):
+        sl = slice(h * hds, (h + 1) * hds)
+        # stage 1: anchor queries attend to the window keys/values
+        attn1 = jax.lax.dot_general(an[:, :, sl], ks[:, :, sl],
+                                    dimension_numbers=_BATCHED_DOT,
+                                    preferred_element_type=f32)  # [W,Na,N]
+        attn1 = attn1 * s1_ref[h].astype(f32)
+        x1 = jax.lax.dot_general(
+            _bsoftmax(attn1 + bias_s1_ref[h].astype(f32)[None]).astype(dt),
+            vs[:, :, sl], dimension_numbers=_BATCHED_PV,
+            preferred_element_type=f32).astype(dt)               # [W,Na,hd]
+        # stage 2: window queries attend to the anchor summary
+        attn2 = jax.lax.dot_general(qs[:, :, sl], an[:, :, sl],
+                                    dimension_numbers=_BATCHED_DOT,
+                                    preferred_element_type=f32)  # [W,N,Na]
+        attn2 = attn2 * s2_ref[h].astype(f32)
+        heads.append(jax.lax.dot_general(
+            _bsoftmax(attn2 + bias_s2_ref[h].astype(f32)[None]).astype(dt),
+            x1, dimension_numbers=_BATCHED_PV,
+            preferred_element_type=f32).astype(dt))              # [W,N,hd]
+    os_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
+
+
+def _grl_kernel_nomask(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
+                       ow, os_, *, num_heads_w, num_heads_s, ws, df, wpb):
+    _grl_mixed_body(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
+                    None, ow, os_, num_heads_w, num_heads_s, ws, df, wpb)
+
+
+def _grl_kernel_mask(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
+                     mask, ow, os_, *, num_heads_w, num_heads_s, ws, df,
+                     wpb):
+    _grl_mixed_body(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
+                    mask, ow, os_, num_heads_w, num_heads_s, ws, df, wpb)
+
+
+def _pick_wpb_grl(nww: int, ws: int, aws: int, c: int, itemsize: int) -> int:
+    """Tiles per grid step: 8 window-sized + 1 anchor-sized data blocks,
+    double-buffered, within ~8 MB of VMEM."""
+    budget = 8 * 1024 * 1024
+    per_window = (8 * ws * ws + aws * aws) * c * itemsize * 2
+    cap = max(1, budget // per_window)
+    for wpb in (32, 16, 8, 4, 2, 1):
+        if wpb <= cap and nww % wpb == 0:
+            return wpb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads_w", "num_heads_s", "window_size", "down_factor", "interpret"))
+def fused_grl_mixed_attention_nhwc(
+        qw: jnp.ndarray, kw: jnp.ndarray, vw: jnp.ndarray,
+        qs: jnp.ndarray, ks: jnp.ndarray, vs: jnp.ndarray,
+        anchor: jnp.ndarray,
+        scale_w: jnp.ndarray, scale_s1: jnp.ndarray, scale_s2: jnp.ndarray,
+        bias_w: jnp.ndarray, bias_s1: jnp.ndarray, bias_s2: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        num_heads_w: int, num_heads_s: int, window_size: int,
+        down_factor: int = 2, interpret: bool = False):
+    """GRL mixed attention over plain NHWC tensors.
+
+    qw/kw/vw, qs/ks/vs: [B, H, W, C/2] raw window and stripe halves
+    (qw/kw/vw pre-rolled for shifted blocks); anchor [B, H/df, W/df, C/2]
+    raw. Per-head L2 normalization happens in-kernel; the clamped logit
+    scales (scale_* [nH, 1, 1]) multiply the attention logits (a per-head
+    scalar commutes with the cosine dot). bias_w [nHw, N, N], bias_s1
+    [nHs, Na, N], bias_s2 [nHs, N, Na]; mask [nW, N, N] or None.
+    Returns (window_out, stripe_out), each [B, H, W, C/2]."""
+    b, hh, ww_, c = qw.shape
+    ws = window_size
+    aws = ws // down_factor
+    n = ws * ws
+    na = aws * aws
+    nwh, nww = hh // ws, ww_ // ws
+    wpb = _pick_wpb_grl(nww, ws, aws, c, qw.dtype.itemsize)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    steps_w = nww // wpb
+    win_spec = pl.BlockSpec((1, ws, ws * wpb, c),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    anc_spec = pl.BlockSpec((1, aws, aws * wpb, c),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    scale_w_spec = pl.BlockSpec((num_heads_w, 1, 1),
+                                lambda bi, i, j: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    scale_s_spec = pl.BlockSpec((num_heads_s, 1, 1),
+                                lambda bi, i, j: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    bw_spec = pl.BlockSpec((num_heads_w, n, n), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((num_heads_s, na, n), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    b2_spec = pl.BlockSpec((num_heads_s, n, na), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    static = dict(num_heads_w=num_heads_w, num_heads_s=num_heads_s, ws=ws,
+                  df=down_factor, wpb=wpb)
+    common_specs = [win_spec] * 6 + [anc_spec, scale_w_spec, scale_s_spec,
+                                     scale_s_spec, bw_spec, b1_spec, b2_spec]
+    common_args = (qw, kw, vw, qs, ks, vs, anchor, scale_w, scale_s1,
+                   scale_s2, bias_w, bias_s1, bias_s2)
+    if mask is None:
+        kernel = functools.partial(_grl_kernel_nomask, **static)
+        in_specs = common_specs
+        args = common_args
+    else:
+        mask_spec = pl.BlockSpec(
+            (wpb, n, n), lambda bi, i, j: (i * steps_w + j, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_grl_kernel_mask, **static)
+        in_specs = common_specs + [mask_spec]
+        args = common_args + (mask.astype(qw.dtype),)
+
+    nw = nwh * nww
+    hdw, hds = c // num_heads_w, c // num_heads_s
+    flops_per = (num_heads_w * 2 * n * n * hdw * 2
+                 + num_heads_s * 2 * (na * n + n * na) * hds * 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, steps_w),
+        in_specs=in_specs,
+        out_specs=(win_spec, win_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, hh, ww_, c), qw.dtype),
+                   jax.ShapeDtypeStruct((b, hh, ww_, c), qw.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * b * nw,
+            bytes_accessed=8 * b * hh * ww_ * c * qw.dtype.itemsize,
+            transcendentals=b * nw * (num_heads_w * n * n
+                                      + num_heads_s * 2 * na * n),
         ),
         interpret=interpret,
     )(*args)
