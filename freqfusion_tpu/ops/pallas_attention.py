@@ -163,32 +163,34 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _attn_nhwc_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
                     num_heads: int, scale: float, ws: int, wpb: int):
     c = q_ref.shape[3]
-    n = ws * ws
     hd = c // num_heads
     in_dtype = q_ref.dtype
-    for w in range(wpb):
-        sl_w = slice(w * ws, (w + 1) * ws)
-        q_w = q_ref[0, :, sl_w, :].reshape(n, c)
-        k_w = k_ref[0, :, sl_w, :].reshape(n, c)
-        v_w = v_ref[0, :, sl_w, :].reshape(n, c)
-        out_heads = []
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            q = q_w[:, sl] * jnp.asarray(scale, in_dtype)
-            attn = jax.lax.dot_general(
-                q, k_w[:, sl], dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [N, N] fp32
-            attn = attn + bias_ref[h].astype(jnp.float32)
-            if mask_ref is not None:
-                attn = attn + mask_ref[w].astype(jnp.float32)
-            attn = attn - attn.max(axis=-1, keepdims=True)
-            attn = jnp.exp(attn)
-            attn = attn / attn.sum(axis=-1, keepdims=True)
-            out = jnp.dot(attn.astype(in_dtype), v_w[:, sl],
-                          preferred_element_type=jnp.float32)
-            out_heads.append(out.astype(o_ref.dtype))
-        o_w = jnp.concatenate(out_heads, axis=-1)             # [N, C]
-        o_ref[0, :, sl_w, :] = o_w.reshape(ws, ws, c)
+    f32 = jnp.float32
+    # All wpb windows ride a dot_general batch dimension (one dot pair per
+    # head, softmax vectorized over [wpb*N, N]) — per-(window, head)
+    # unrolled bodies measured ~5x slower in the GRL mixed kernel.
+    q_all = _tiles(q_ref, ws, wpb, c)
+    k_all = _tiles(k_ref, ws, wpb, c)
+    v_all = _tiles(v_ref, ws, wpb, c)
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    heads = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_all[:, :, sl] * jnp.asarray(scale, in_dtype)
+        attn = jax.lax.dot_general(q, k_all[:, :, sl],
+                                   dimension_numbers=_BATCHED_DOT,
+                                   preferred_element_type=f32)  # [W,N,N]
+        attn = attn + bias_ref[h].astype(f32)[None]
+        if mask is not None:
+            attn = attn + mask
+        attn = attn - attn.max(axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / attn.sum(axis=-1, keepdims=True)
+        heads.append(jax.lax.dot_general(
+            attn.astype(in_dtype), v_all[:, :, sl],
+            dimension_numbers=_BATCHED_PV,
+            preferred_element_type=f32).astype(o_ref.dtype))    # [W,N,hd]
+    o_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
 
 
 def _nhwc_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -205,9 +207,13 @@ def _nhwc_kernel_mask(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
 
 def _pick_wpb_nhwc(nww: int, ws: int, c: int, itemsize: int) -> int:
     """Windows per grid step, bounded so the 4 double-buffered data blocks
-    stay within ~8 MB of VMEM (16 MB/core on v5e)."""
+    PLUS the window-batched body's fp32 attention scratch (attn + softmax
+    temps live across the whole batched softmax) stay within ~8 MB of
+    VMEM (16 MB/core on v5e)."""
     budget = 8 * 1024 * 1024
-    per_window = 4 * 2 * ws * ws * c * itemsize  # q/k/v/o, double-buffered
+    n = ws * ws
+    per_window = (4 * 2 * n * c * itemsize   # q/k/v/o blocks, double-buffered
+                  + 3 * n * n * 4)           # [W,N,N] fp32 attn scratch
     cap = max(1, budget // per_window)
     for wpb in (16, 8, 4, 2, 1):
         if wpb <= cap and nww % wpb == 0:
