@@ -165,6 +165,11 @@ class SS2D(nn.Module):
             # summary pass + O(rows) associative scan inside the wrapper.
             from ..ops.selective_scan import selective_scan_pallas_chain
 
+            # VERDICT-r2 item 9: flag-gated approximate scan (independent
+            # per-chain zero inits; skips the summary+compose passes).
+            # Ships OFF — measured in BENCH_NOTES, gated on self-PSNR.
+            approx = os.environ.get("FREQFUSION_SCAN_APPROX", "0") == "1"
+
             A_p = jnp.pad(A, [(0, 0), (0, pad_d), (0, 0)])
             D_p = jnp.pad(Dsk, [(0, 0), (0, pad_d)])
             bias_p = jnp.pad(dt_projs_bias.astype(jnp.float32),
@@ -204,7 +209,8 @@ class SS2D(nn.Module):
                         ).astype(x_lay.dtype)
                     y_j = selective_scan_pallas_chain(
                         u_p, dt_j, A_p[k_idx], bs_j, cs_j, D_p[k_idx],
-                        bias_p[k_idx], reverse=rev, out_dtype=x_lay.dtype)
+                        bias_p[k_idx], reverse=rev, out_dtype=x_lay.dtype,
+                        approx_init=approx)
                     y_pair = y_j if y_pair is None else y_pair + y_j
                 pair_sums.append(y_pair[..., :d_inner])
             # pair 0 came back [B, W, H, D]; transpose once to NHWC

@@ -764,7 +764,8 @@ def _chain_chunk(t: int, cap: int = 160) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("reverse", "use_exp2",
-                                             "out_dtype", "interpret"))
+                                             "out_dtype", "interpret",
+                                             "approx_init"))
 def selective_scan_pallas_chain(u: jnp.ndarray,
                                 delta: jnp.ndarray,
                                 A: jnp.ndarray,
@@ -775,7 +776,8 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
                                 reverse: bool = False,
                                 use_exp2: bool = True,
                                 out_dtype=None,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                approx_init: bool = False) -> jnp.ndarray:
     """Chain-parallel selective scan over the TRANSPOSED spatial layout.
 
     u/delta: [B, T, R, D] — R chains (R % 8 == 0) of T steps each; the
@@ -785,6 +787,13 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
     tail channels with A=0, D=0, bias=0 contribute exactly zero).
     reverse=True scans the whole sequence back-to-front. Returns y
     [B, T, R, D] in ``out_dtype`` (default float32).
+
+    approx_init=True is the flag-gated APPROXIMATE variant (VERDICT r2
+    item 9): every chain starts from a ZERO state — the summary pass and
+    the init composition are skipped entirely (~6 of ~15 ops/element),
+    at the cost of dropping cross-chain state carry-over (each image
+    row/column scans independently). Quality impact is measured, not
+    assumed — see tests/test_scan_approx.py and BENCH_NOTES; ships OFF.
     """
     b, t, r, d = u.shape
     n = A.shape[-1]
@@ -818,37 +827,41 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
                           lambda bi, j, wi: (bi, j, 0, 0),
                           memory_space=pltpu.VMEM)
 
-    p_sum, f_sum = pl.pallas_call(
-        functools.partial(_ss_chain_summary_kernel, dp=d, n=n,
-                          reverse=reverse, use_exp2=use_exp2),
-        grid=(b, g, t // wc),
-        in_specs=[blk(d), blk(d), blk(n), const(a_rows), const(bias)],
-        out_specs=[out_pf, out_pf],
-        out_shape=[jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
-                   jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
-                        pltpu.VMEM((8, d * n), jnp.float32)],
-        interpret=interpret,
-    )(u, delta, B, a_rows, bias)
-
-    # Compose chain maps s -> P*s + F across the R chains (sequence
-    # order) into each chain's exclusive init — one sequential in-VMEM
-    # pallas pass over the tiny [R, N*D] summaries.
-    if reverse:
-        seq_map = lambda bi, j: (bi, g - 1 - j, 0, 0)
+    if approx_init:
+        # Gated approximation: zero chain inits, no summary/compose work.
+        init = jnp.zeros((b, g, 8, d * n), jnp.float32)
     else:
-        seq_map = lambda bi, j: (bi, j, 0, 0)
-    pf_spec = pl.BlockSpec((1, 1, 8, d * n), seq_map,
-                           memory_space=pltpu.VMEM)
-    init = pl.pallas_call(
-        functools.partial(_chain_init_kernel, reverse=reverse),
-        grid=(b, g),
-        in_specs=[pf_spec, pf_spec],
-        out_specs=pf_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
-        interpret=interpret,
-    )(p_sum, f_sum)
+        p_sum, f_sum = pl.pallas_call(
+            functools.partial(_ss_chain_summary_kernel, dp=d, n=n,
+                              reverse=reverse, use_exp2=use_exp2),
+            grid=(b, g, t // wc),
+            in_specs=[blk(d), blk(d), blk(n), const(a_rows), const(bias)],
+            out_specs=[out_pf, out_pf],
+            out_shape=[jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+                       jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((8, d), jnp.float32),
+                            pltpu.VMEM((8, d * n), jnp.float32)],
+            interpret=interpret,
+        )(u, delta, B, a_rows, bias)
+
+        # Compose chain maps s -> P*s + F across the R chains (sequence
+        # order) into each chain's exclusive init — one sequential in-VMEM
+        # pallas pass over the tiny [R, N*D] summaries.
+        if reverse:
+            seq_map = lambda bi, j: (bi, g - 1 - j, 0, 0)
+        else:
+            seq_map = lambda bi, j: (bi, j, 0, 0)
+        pf_spec = pl.BlockSpec((1, 1, 8, d * n), seq_map,
+                               memory_space=pltpu.VMEM)
+        init = pl.pallas_call(
+            functools.partial(_chain_init_kernel, reverse=reverse),
+            grid=(b, g),
+            in_specs=[pf_spec, pf_spec],
+            out_specs=pf_spec,
+            out_shape=jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+            interpret=interpret,
+        )(p_sum, f_sum)
 
     init_spec = pl.BlockSpec((1, 1, 8, d * n),
                              lambda bi, j, wi: (bi, j, 0, 0),

@@ -37,3 +37,24 @@ def test_mambair_pallas_route_matches_xla(monkeypatch, h, w):
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(feat_pal), np.asarray(feat_ref),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_mambair_scan_approx_route_runs(monkeypatch):
+    """FREQFUSION_SCAN_APPROX=1 (gated approximation, VERDICT-r2 item 9)
+    wires through SS2D: runs the chain route with zero-init chains and
+    stays close to the exact route at small geometry (short chains decay
+    the carried state; the semantic difference itself is pinned at the
+    kernel level in test_pallas_scan.py)."""
+    model = MambaIR(upscale=4, embed_dim=60, depths=(2,), d_state=4,
+                    scan_chunk=64)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    sr_exact, _ = model.apply(params, x)
+    monkeypatch.setenv("FREQFUSION_SCAN_APPROX", "1")
+    sr_approx, _ = model.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(sr_approx), np.asarray(sr_exact),
+                               atol=5e-3, rtol=1e-2)

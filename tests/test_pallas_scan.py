@@ -213,6 +213,50 @@ def test_selective_scan_pallas_chain_padded_tail_is_zero():
     assert float(jnp.abs(got[..., d:]).max()) == 0.0
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_selective_scan_pallas_chain_approx_is_per_chain(reverse):
+    """approx_init=True == every chain scanned INDEPENDENTLY from a zero
+    state (the gated approximation: summary/compose skipped). Pinned
+    against the XLA scan run chain-by-chain."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_chain)
+
+    rng = np.random.default_rng(11)
+    b, t, r, d, n = 2, 16, 16, 128, 4
+    u = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    dt = (rng.normal(size=(b, t, r, d)) * 0.3).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (d, n))).astype(np.float32)
+    B = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    C = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    D = rng.normal(size=(d,)).astype(np.float32)
+    bias = (rng.normal(size=(d,)) * 0.1).astype(np.float32)
+
+    # reference: each chain ri is its own zero-init sequence of length t
+    def per_chain(x):  # [B, T, R, F] -> [B*R, T, F]
+        return jnp.asarray(x).transpose(0, 2, 1, 3).reshape(
+            b * r, t, x.shape[-1])
+
+    sl = slice(None, None, -1) if reverse else slice(None)
+    ref = selective_scan(per_chain(u)[:, sl], per_chain(dt)[:, sl],
+                         jnp.asarray(A), per_chain(B)[:, sl],
+                         per_chain(C)[:, sl], jnp.asarray(D),
+                         delta_bias=jnp.asarray(bias), chunk=16)[:, sl]
+    ref = np.asarray(ref).reshape(b, r, t, d).transpose(0, 2, 1, 3)
+
+    got = selective_scan_pallas_chain(
+        jnp.asarray(u), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(D), jnp.asarray(bias), reverse=reverse,
+        interpret=True, approx_init=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5, rtol=2e-5)
+
+    # and it must DIFFER from the exact route (chains are coupled there)
+    exact = selective_scan_pallas_chain(
+        jnp.asarray(u), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(D), jnp.asarray(bias), reverse=reverse,
+        interpret=True)
+    assert float(jnp.abs(exact - got).max()) > 1e-4
+
+
 def test_selective_scan_pallas_chain_validates_shapes():
     from freqfusion_tpu.ops.selective_scan import selective_scan_pallas_chain
 
