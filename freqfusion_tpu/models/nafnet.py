@@ -41,6 +41,45 @@ def simple_gate(x: jnp.ndarray) -> jnp.ndarray:
     return x1 * x2
 
 
+class _DWConv3x3(nn.Module):
+    """Depthwise 3x3 as NINE shifted FMAs instead of a grouped convolution.
+
+    XLA assigns grouped convs a conv-preferred activation layout
+    ({3,1,2,0} 8-row blocking) and inserts full-tensor copies on both
+    sides of every one of NAFNet's 36 dwconvs — the 54 ms `copy` bucket
+    of the round-3 NAFNet trace. Expressed as 9 static slices of a
+    spatially-padded tensor FMA'd with the per-tap channel weights, the
+    op is pure elementwise work that fuses with its neighbors in the
+    fusion-preferred layout. Param names/shapes match nn.Conv exactly
+    (kernel [3, 3, 1, C], bias [C]) so converted torch weights drop in
+    unchanged (reference dwconv: nafnet_arch.py:66-70).
+
+    MEASURED AND DECLINED: in-model 336x512 bf16 the shift route runs
+    0.431 s/img vs 0.295 for the grouped conv — XLA does not collapse
+    the 9 shifted slice reads into one stencil pass, so the op pays ~9x
+    the HBM read traffic and loses more than the ~54 ms of layout copies
+    it saves. Kept behind FREQFUSION_NAFNET_DWSHIFT=1 as the receipt,
+    parity-pinned by tests/test_nafnet_parity.py's dwshift case.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        _, h, w, _ = x.shape
+        xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        kc = k.astype(x.dtype)
+        y = None
+        for i in range(3):
+            for j in range(3):
+                term = xp[:, i: i + h, j: j + w, :] * kc[i, j, 0]
+                y = term if y is None else y + term
+        return y + bias.astype(x.dtype)
+
+
 class NAFBlock(nn.Module):
     """LayerNorm -> 1x1 -> 3x3 DW -> SimpleGate -> SCA -> 1x1, plus gated FFN;
     learnable beta/gamma residual scales (nafnet_arch.py:58-131)."""
@@ -54,10 +93,19 @@ class NAFBlock(nn.Module):
         c = self.c
         dw = c * self.dw_expand
 
+        # Measured and DECLINED (BENCH_NOTES round 3): the 9-shift-FMA
+        # dwconv variant removes the conv-layout copies but costs 9x the
+        # HBM reads — 0.295 -> 0.431 s/img in-model. Grouped conv stays.
+        import os
+        shift_dw = os.environ.get("FREQFUSION_NAFNET_DWSHIFT", "0") == "1"
+
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(inp)
         x = nn.Conv(dw, (1, 1), name="conv1")(x)
-        x = nn.Conv(dw, (3, 3), padding=((1, 1), (1, 1)),
-                    feature_group_count=dw, name="conv2")(x)
+        if shift_dw:
+            x = _DWConv3x3(dw, name="conv2")(x)
+        else:
+            x = nn.Conv(dw, (3, 3), padding=((1, 1), (1, 1)),
+                        feature_group_count=dw, name="conv2")(x)
         x = simple_gate(x)
         # Simplified channel attention: pooled 1x1 conv scale
         sca = nn.Conv(dw // 2, (1, 1), name="sca")(global_avg_pool(x))

@@ -45,3 +45,22 @@ def test_nafnet_sr_matches_torch_reference():
 
     np.testing.assert_allclose(np.asarray(sr), out, atol=3e-4, rtol=1e-3)
     assert feat.shape == (1, 52, 72, 16)
+
+
+def test_nafnet_dwshift_route_matches_grouped_conv(monkeypatch):
+    """The declined 9-shift-FMA dwconv variant (FREQFUSION_NAFNET_DWSHIFT=1,
+    receipt in BENCH_NOTES) stays numerically identical to the shipped
+    grouped conv, on the SAME param tree."""
+    model = NAFNetSR(**SMALL)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 13, 18, 3)).astype(np.float32))
+
+    monkeypatch.delenv("FREQFUSION_NAFNET_DWSHIFT", raising=False)
+    params = model.init(jax.random.PRNGKey(1), x)
+    sr_ref, _ = model.apply(params, x)
+
+    monkeypatch.setenv("FREQFUSION_NAFNET_DWSHIFT", "1")
+    sr_shift, _ = model.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(sr_shift), np.asarray(sr_ref),
+                               atol=2e-5, rtol=1e-5)
