@@ -10,9 +10,10 @@ the full JAX model, and run one small crop forward through the converted
 full-geometry params (under nn.scan stacking, which keeps the CPU compile
 tractable and exercises restack_params_for_scan at full scale too).
 
-Numerical parity at full geometry is transitively pinned by the
-small-config value tests (same per-layer code paths); what this file
-guards is the CONVERTER's behavior on the real key/shape space.
+Each test also forwards the SAME crop through the torch model at full
+geometry and asserts numerical parity (self-PSNR of the composition at
+real depth — the 0.05 dB conversion budget checked where it actually
+accumulates, not just at toy scale).
 """
 
 import numpy as np
@@ -42,6 +43,17 @@ def _forward_crop(name, params, x):
     assert np.isfinite(np.asarray(sr)).all()
     assert np.isfinite(np.asarray(feat)).all()
     return np.asarray(sr), np.asarray(feat)
+
+
+def _assert_full_parity(sr, out, label, atol=2e-3, min_psnr=50.0):
+    """Composition-level parity at real depth: elementwise tolerance plus
+    a PSNR floor tied to the 0.05 dB conversion budget."""
+    mse = float(np.mean((sr - out) ** 2))
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    print(f"{label}: full-geometry self-PSNR {psnr:.1f} dB, "
+          f"max|diff| {np.abs(sr - out).max():.2e}")
+    np.testing.assert_allclose(sr, out, atol=atol, rtol=1e-2)
+    assert psnr > min_psnr, f"{label}: {psnr:.1f} dB < {min_psnr}"
 
 
 def _eval_shape_target(name):
@@ -79,6 +91,11 @@ def test_drct_l_full_geometry():
     assert sr.shape == (1, 64, 64, 3)
     assert feat.shape == (1, 16, 16, 180)
 
+    tm.eval()
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "drct")
+
 
 def test_grl_b_full_geometry():
     from test_grl_parity import _load_ref_grl
@@ -109,6 +126,11 @@ def test_grl_b_full_geometry():
     assert sr.shape == (1, 128, 128, 3)
     assert feat.shape == (1, 32, 32, 180)
 
+    tm.eval()
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "grl")
+
 
 def test_nafnet_full_geometry():
     arch = load_module("src/models/nafnet/nafnet_arch.py", "ref_naf_full")
@@ -128,6 +150,14 @@ def test_nafnet_full_geometry():
     sr, feat = _forward_crop("nafnet", params, x)
     assert sr.shape == (1, 64, 64, 3)
     assert feat.shape[-1] == 64
+
+    tm.eval()
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        x_up = torch.nn.functional.interpolate(
+            xt, scale_factor=4, mode="bicubic", align_corners=False)
+        out = tm(x_up).clamp(0, 1).numpy().transpose(0, 2, 3, 1)
+    _assert_full_parity(sr, out, "nafnet")
 
 
 def test_mambair_full_geometry():
@@ -156,3 +186,8 @@ def test_mambair_full_geometry():
     sr, feat = _forward_crop("mamba", params, x)
     assert sr.shape == (1, 64, 64, 3)
     assert feat.shape == (1, 16, 16, 180)
+
+    tm.eval()
+    with torch.no_grad():
+        out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "mamba")
