@@ -99,17 +99,21 @@ class TokenMultiheadAttention(nn.Module):
         qkv = x @ in_proj_w + in_proj_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):  # [..., T, E] -> [..., heads, T, hd]
-            return t.reshape(*t.shape[:-1], self.num_heads, hd).swapaxes(-2, -3)
+        def heads(t):  # [..., T, E] -> [..., T, heads, hd] (minor-dim
+            # split only — a free bitcast; the head axis stays in place
+            # and the einsums below carry it as a batch dim, so no
+            # [..., heads, T, hd] transpose copies are ever materialized
+            # (the round-3 fusion trace showed 4.7 ms copies per swap)
+            return t.reshape(*t.shape[:-1], self.num_heads, hd)
 
         q, k, v = heads(q), heads(k), heads(v)
-        logits = jnp.einsum("...qd,...kd->...qk", q, k,
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(hd)
         weights = nn.softmax(logits, axis=-1).astype(x.dtype)
         if self.dropout > 0.0:
             weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
-        out = jnp.einsum("...qk,...kd->...qd", weights, v)
-        out = out.swapaxes(-2, -3).reshape(*x.shape)
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+        out = out.reshape(*x.shape)
         return nn.Dense(e, name="out_proj")(out)
 
 

@@ -78,15 +78,21 @@ def _resize(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarray:
         x = x[None]
     b, h, w, c = x.shape
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    # Accumulate in fp32 INSIDE each einsum but keep the streamed tensors
+    # in the input dtype: under bf16 fusion_dtype the old explicit
+    # x.astype(f32) materialized a full fp32 copy of the input (a 6 ms
+    # convert leaf in the round-3 fusion trace) and doubled the traffic
+    # of the intermediate. For fp32 inputs the casts below are no-ops.
+    xf = x
     if h != out_h:
-        rh = resize_matrix(h, out_h, method)
-        xf = jnp.einsum("oh,bhwc->bowc", rh, xf, preferred_element_type=jnp.float32)
+        rh = resize_matrix(h, out_h, method).astype(dtype)
+        xf = jnp.einsum("oh,bhwc->bowc", rh, xf,
+                        preferred_element_type=jnp.float32).astype(dtype)
     if w != out_w:
-        rw = resize_matrix(w, out_w, method)
-        xf = jnp.einsum("ow,bhwc->bhoc", rw, xf, preferred_element_type=jnp.float32)
-    out = xf.astype(dtype)
-    return out[0] if squeeze else out
+        rw = resize_matrix(w, out_w, method).astype(dtype)
+        xf = jnp.einsum("ow,bhwc->bhoc", rw, xf,
+                        preferred_element_type=jnp.float32).astype(dtype)
+    return xf[0] if squeeze else xf
 
 
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
