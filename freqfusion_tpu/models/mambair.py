@@ -113,7 +113,13 @@ class SS2D(nn.Module):
         pallas = use_pallas()
         spatial_ok = pallas and h % 8 == 0 and w % 8 == 0
         impl = os.environ.get("FREQFUSION_SCAN", "chain")
-        chain = spatial_ok and impl == "chain"
+        chain = spatial_ok and impl in ("chain", "chainv5")
+        # v6 (default "chain"): silu + the dt/B/C projections happen
+        # INSIDE the scan kernels — the 132 MB activation is read once
+        # per pass instead of once per projection einsum, and dt/B/C
+        # never round-trip through HBM (~170 ms/img of XLA passes in the
+        # round-3 trace). "chainv5" keeps the explicit-projection route.
+        proj_in_kernel = chain and impl == "chain"
         spatial = spatial_ok and not chain
         dp = -(-d_inner // 128) * 128 if chain else d_inner
         pad_d = dp - d_inner
@@ -123,7 +129,8 @@ class SS2D(nn.Module):
         # zero pad ops on activations anywhere in the scan path.
         xc, z = _SplitProj(d_inner * 2, pad_x=pad_d, name="in_proj")(x)
         xc = _DWConv(d_inner, self.d_conv, pad_c=pad_d, name="conv2d")(xc)
-        xc = nn.silu(xc)                           # [B, H, W, Dp]
+        if not proj_in_kernel:
+            xc = nn.silu(xc)                       # [B, H, W, Dp]
 
         x_proj_weight = self.param(
             "x_proj_weight", nn.initializers.normal(0.02),
@@ -163,7 +170,8 @@ class SS2D(nn.Module):
             # (the padded channels have A=D=bias=0 and contribute exactly
             # zero). Exactness across chain boundaries comes from the
             # summary pass + O(rows) associative scan inside the wrapper.
-            from ..ops.selective_scan import selective_scan_pallas_chain
+            from ..ops.selective_scan import (
+                selective_scan_pallas_chain, selective_scan_pallas_chain_proj)
 
             # VERDICT-r2 item 9: flag-gated approximate scan (independent
             # per-chain zero inits; skips the summary+compose passes).
@@ -191,6 +199,13 @@ class SS2D(nn.Module):
                 # the k-axis slices cost real copies per the trace)
                 for j, rev in enumerate((False, True)):
                     k_idx = sel.indices(4)[0] + 2 * j     # 0/2 or 1/3
+                    if proj_in_kernel:
+                        y_j = selective_scan_pallas_chain_proj(
+                            x_lay, xpw_p[k_idx], dtw_p[k_idx], A_p[k_idx],
+                            D_p[k_idx], bias_p[k_idx], reverse=rev,
+                            out_dtype=x_lay.dtype, approx_init=approx)
+                        y_pair = y_j if y_pair is None else y_pair + y_j
+                        continue
                     wk = xpw_p[k_idx]                     # [C, Dp]
                     dt_low = jnp.einsum(
                         "btrd,cd->btrc", x_lay, wk[:dt_rank],

@@ -34,7 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["selective_scan", "selective_scan_pallas",
            "selective_scan_pallas_dirs", "selective_scan_pallas_bidir",
-           "selective_scan_pallas_spatial", "selective_scan_pallas_chain"]
+           "selective_scan_pallas_spatial", "selective_scan_pallas_chain",
+           "selective_scan_pallas_chain_proj"]
 
 
 def _scan_combine(c1, c2):
@@ -877,3 +878,268 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((8, d * n), jnp.float32)],
         interpret=interpret,
     )(u, delta, B, C, init, a_rows, dskip, bias)
+
+
+# ---------------------------------------------------------------------------
+# v6: chain kernels with IN-KERNEL silu + dt/B/C projections
+# ---------------------------------------------------------------------------
+#
+# The v5 route computes silu(xc) and the three per-direction projection
+# einsums (dt_low -> dt, B, C) in XLA before the kernels. The round-3
+# MambaIR trace prices that boundary at ~170 ms/img: the 132 MB activation
+# is re-read once per projection (42+34+34 ms for the three einsum
+# families x 144 call sites), silu costs another 57 ms of elementwise +
+# layout passes, and the projected dt/B/C round-trip through HBM only to
+# be re-read by BOTH scan passes. Here each kernel computes, per streamed
+# [wc, 8, Dp] time block in VMEM,
+#     u  = silu(xc)                          (VPU, once per block)
+#     dt = (u @ Wdl) @ Wdt,  B = u @ Wb,  C = u @ Wc   (tiny MXU dots)
+# so the ONLY large tensor crossing HBM is xc itself (read once per pass)
+# plus the y output. The projection FLOPs are negligible next to the
+# VPU-bound recurrence, and the recurrence math is byte-identical to v5
+# (_ss_chain_step is shared).
+#
+# Semantics (reference: mambair_arch.py:339-369 via SS2D.forward_core):
+#     x_dbl = einsum(silu(conv(x)), x_proj_weight)   # dt_low | B | C
+#     dt    = einsum(dt_low, dt_proj_weight)
+# with fp32 accumulation (preferred_element_type). The two dt matmuls
+# are linear maps, so they are composed OFFLINE into one [Dp, Dp] matrix
+# (exact in fp32; in bf16 the composed weight rounds once where the XLA
+# route rounds dt_low once — both autocast-equivalent).
+
+
+def _proj_scratch(xc_ref, wf_ref, u_scr, dt_scr, b_scr, c_scr=None, *,
+                  n: int):
+    """Fill the per-block u/dt/B(/C) scratches from the raw conv output.
+
+    ONE fused MXU dot per block: the fused weight packs [W_dt_full | Wb |
+    Wc] at lane-tile-aligned column offsets (0 / Dp / Dp+128), where
+    W_dt_full = Wdt_low @ Wdt is the exact composition of the two dt
+    projections. Separate small dots measured ~18 us fixed cost EACH on
+    hardware (~85 ms/img across the block prologs); one aligned
+    [T8, Dp] @ [Dp, Dp+256] dot plus tile-aligned lane slices removes
+    all of it."""
+    blk = xc_ref[0]                                   # [wc, 8, Dp]
+    wcnt, _, dp = blk.shape
+    f32 = jnp.float32
+    xf = blk.astype(f32)
+    u = (xf * jax.nn.sigmoid(xf)).astype(blk.dtype)   # silu, io dtype
+    u_scr[:] = u
+    u2 = u.reshape(wcnt * 8, dp)
+    proj = jax.lax.dot_general(
+        u2, wf_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)                   # [T8, Dp + 256]
+    dt_scr[:] = proj[:, :dp].reshape(wcnt, 8, dp)
+    b_scr[:] = proj[:, dp: dp + n].reshape(wcnt, 8, n)
+    if c_scr is not None:
+        c_scr[:] = proj[:, dp + 128: dp + 128 + n].reshape(wcnt, 8, n)
+
+
+def _ss_chainp_summary_kernel(xc_ref, wf_ref, a_ref,
+                              bias_ref, p_ref, f_ref, u_scr, dt_scr, b_scr,
+                              s_scr, f_scr, *, dp: int, n: int,
+                              reverse: bool, use_exp2: bool,
+                              unroll: int = 8):
+    wc_idx = pl.program_id(2)
+    nwc = pl.num_programs(2)
+    wcount = xc_ref.shape[1]
+
+    @pl.when(wc_idx == 0)
+    def _():
+        s_scr[:] = jnp.zeros_like(s_scr)
+        f_scr[:] = jnp.zeros_like(f_scr)
+
+    _proj_scratch(xc_ref, wf_ref, u_scr, dt_scr, b_scr, n=n)
+    bias = bias_ref[:]
+
+    U = unroll if wcount % unroll == 0 else 1
+
+    def body(wi, carry):
+        S, hs = carry
+        hs = list(hs)
+        for k in range(U):
+            w = wi * U + k
+            idx = wcount - 1 - w if reverse else w
+            delta, _ = _ss_chain_step(
+                u_scr[idx], dt_scr[idx], b_scr[idx], a_ref, bias,
+                hs, n=n, dp=dp, use_exp2=use_exp2)
+            S = S + delta
+        return S, tuple(hs)
+
+    hs0 = tuple(f_scr[:, i * dp: (i + 1) * dp] for i in range(n))
+    S, hs = jax.lax.fori_loop(0, wcount // U, body, (s_scr[:], hs0),
+                              unroll=1)
+    s_scr[:] = S
+    f_scr[:] = jnp.concatenate(hs, axis=1)
+
+    @pl.when(wc_idx == nwc - 1)
+    def _():
+        _exp = jnp.exp2 if use_exp2 else jnp.exp
+        f_ref[0, 0] = f_scr[:]
+        p_ref[0, 0] = jnp.concatenate(
+            [_exp(s_scr[:] * a_ref[i: i + 1]) for i in range(n)], axis=1)
+
+
+def _ss_chainp_main_kernel(xc_ref, wf_ref,
+                           init_ref, a_ref, dskip_ref, bias_ref, y_ref,
+                           u_scr, dt_scr, b_scr, c_scr, h_scr, *, dp: int,
+                           n: int, reverse: bool, use_exp2: bool,
+                           unroll: int = 8):
+    wc_idx = pl.program_id(2)
+    wcount = xc_ref.shape[1]
+
+    @pl.when(wc_idx == 0)
+    def _():
+        h_scr[:] = init_ref[0, 0]
+
+    _proj_scratch(xc_ref, wf_ref, u_scr, dt_scr, b_scr, c_scr, n=n)
+    bias = bias_ref[:]
+    dskip = dskip_ref[:]
+
+    U = unroll if wcount % unroll == 0 else 1
+
+    def body(wi, hs):
+        hs = list(hs)
+        for k in range(U):
+            w = wi * U + k
+            idx = wcount - 1 - w if reverse else w
+            _, y = _ss_chain_step(
+                u_scr[idx], dt_scr[idx], b_scr[idx], a_ref, bias,
+                hs, n=n, dp=dp, use_exp2=use_exp2, cc=c_scr[idx],
+                dskip=dskip)
+            y_ref[0, idx] = y.astype(y_ref.dtype)
+        return tuple(hs)
+
+    hs0 = tuple(h_scr[:, i * dp: (i + 1) * dp] for i in range(n))
+    hs = jax.lax.fori_loop(0, wcount // U, body, hs0, unroll=1)
+    h_scr[:] = jnp.concatenate(hs, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "use_exp2",
+                                             "out_dtype", "interpret",
+                                             "approx_init"))
+def selective_scan_pallas_chain_proj(xc: jnp.ndarray,
+                                     x_proj_w: jnp.ndarray,
+                                     dt_proj_w: jnp.ndarray,
+                                     A: jnp.ndarray,
+                                     D: jnp.ndarray,
+                                     delta_bias: jnp.ndarray,
+                                     reverse: bool = False,
+                                     use_exp2: bool = True,
+                                     out_dtype=None,
+                                     interpret: bool = False,
+                                     approx_init: bool = False
+                                     ) -> jnp.ndarray:
+    """Chain-parallel selective scan with IN-KERNEL silu + projections.
+
+    xc: [B, T, R, Dp] — the raw depthwise-conv output (PRE-activation;
+    silu is applied in-kernel). x_proj_w: [dt_rank + 2N, Dp] (one
+    direction's slice of SS2D's x_proj_weight, input dim pre-padded to
+    Dp); dt_proj_w: [Dp, dt_rank]. A: [Dp, N]; D/delta_bias: [Dp].
+    Layout/chunking/semantics otherwise identical to
+    ``selective_scan_pallas_chain`` (R % 8 == 0, Dp % 128 == 0, exact
+    cross-chain S6 seeding via the summary + compose passes,
+    approx_init gated the same way).
+    """
+    b, t, r, d = xc.shape
+    n = A.shape[-1]
+    dtr = x_proj_w.shape[0] - 2 * n
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if r % 8 != 0:
+        raise ValueError(f"R ({r}) must be a multiple of 8")
+    if d % 128 != 0:
+        raise ValueError(f"D ({d}) must be a lane multiple (pad to 128s)")
+    out_dtype = out_dtype or jnp.float32
+    wc = _chain_chunk(t)
+    g = r // 8
+
+    a_rows = A.astype(jnp.float32).T  # [N, Dp]
+    if use_exp2:
+        a_rows = a_rows * jnp.float32(1.4426950408889634)  # log2(e)
+    dskip = D.astype(jnp.float32).reshape(1, d)
+    bias = delta_bias.astype(jnp.float32).reshape(1, d)
+    if n > 128 or dtr > d:
+        raise ValueError(f"N ({n}) must be <= 128 and dt_rank <= D")
+    # ONE fused weight for the in-kernel MXU dot, [Dp, Dp + 256]:
+    # cols [0, Dp)         W_dt_full = Wdt_low @ Wdt (exact composition
+    #                      of the two dt projections, fp32)
+    # cols [Dp, Dp+128)    Wb zero-padded to a lane tile
+    # cols [Dp+128, ...)   Wc zero-padded to a lane tile
+    # so every in-kernel slice of the dot output is lane-tile-aligned.
+    # Cast to the compute dtype (fp32 stays fp32 — the interpret/parity
+    # path is exact; bf16 runs match the XLA route's autocast boundary).
+    wdt_full = x_proj_w[:dtr].astype(jnp.float32).T @ \
+        dt_proj_w.astype(jnp.float32).T                  # [Dp, Dp]
+    wb = jnp.pad(x_proj_w[dtr: dtr + n].astype(jnp.float32).T,
+                 [(0, 0), (0, 128 - n)])                 # [Dp, 128]
+    wcw = jnp.pad(x_proj_w[dtr + n:].astype(jnp.float32).T,
+                  [(0, 0), (0, 128 - n)])                # [Dp, 128]
+    wf = jnp.concatenate([wdt_full, wb, wcw], axis=1).astype(xc.dtype)
+
+    def blk(feat):
+        return pl.BlockSpec((1, wc, 8, feat),
+                            lambda bi, j, wi: (bi, wi, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(arr):
+        return pl.BlockSpec(arr.shape,
+                            lambda bi, j, wi: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    out_pf = pl.BlockSpec((1, 1, 8, d * n),
+                          lambda bi, j, wi: (bi, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    proj_scratch = [pltpu.VMEM((wc, 8, d), xc.dtype),        # u
+                    pltpu.VMEM((wc, 8, d), jnp.float32),     # dt
+                    pltpu.VMEM((wc, 8, n), jnp.float32)]     # B
+
+    if approx_init:
+        init = jnp.zeros((b, g, 8, d * n), jnp.float32)
+    else:
+        p_sum, f_sum = pl.pallas_call(
+            functools.partial(_ss_chainp_summary_kernel, dp=d, n=n,
+                              reverse=reverse, use_exp2=use_exp2),
+            grid=(b, g, t // wc),
+            in_specs=[blk(d), const(wf), const(a_rows), const(bias)],
+            out_specs=[out_pf, out_pf],
+            out_shape=[jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+                       jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32)],
+            scratch_shapes=proj_scratch + [
+                pltpu.VMEM((8, d), jnp.float32),
+                pltpu.VMEM((8, d * n), jnp.float32)],
+            interpret=interpret,
+        )(xc, wf, a_rows, bias)
+
+        if reverse:
+            seq_map = lambda bi, j: (bi, g - 1 - j, 0, 0)
+        else:
+            seq_map = lambda bi, j: (bi, j, 0, 0)
+        pf_spec = pl.BlockSpec((1, 1, 8, d * n), seq_map,
+                               memory_space=pltpu.VMEM)
+        init = pl.pallas_call(
+            functools.partial(_chain_init_kernel, reverse=reverse),
+            grid=(b, g),
+            in_specs=[pf_spec, pf_spec],
+            out_specs=pf_spec,
+            out_shape=jax.ShapeDtypeStruct((b, g, 8, d * n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((1, d * n), jnp.float32)],
+            interpret=interpret,
+        )(p_sum, f_sum)
+
+    init_spec = pl.BlockSpec((1, 1, 8, d * n),
+                             lambda bi, j, wi: (bi, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ss_chainp_main_kernel, dp=d, n=n,
+                          reverse=reverse, use_exp2=use_exp2),
+        grid=(b, g, t // wc),
+        in_specs=[blk(d), const(wf),
+                  init_spec, const(a_rows), const(dskip), const(bias)],
+        out_specs=blk(d),
+        out_shape=jax.ShapeDtypeStruct((b, t, r, d), out_dtype),
+        scratch_shapes=proj_scratch + [
+            pltpu.VMEM((wc, 8, n), jnp.float32),             # C
+            pltpu.VMEM((8, d * n), jnp.float32)],            # h
+        interpret=interpret,
+    )(xc, wf, init, a_rows, dskip, bias)

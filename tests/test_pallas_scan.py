@@ -272,3 +272,44 @@ def test_selective_scan_pallas_chain_validates_shapes():
         selective_scan_pallas_chain(z, z, jnp.zeros((120, 4)), zn, zn,
                                     jnp.zeros(120), jnp.zeros(120),
                                     interpret=True)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("approx", [False, True])
+def test_selective_scan_pallas_chain_proj_matches_v5(reverse, approx):
+    """v6 (in-kernel silu + dt/B/C projections) == silu + explicit
+    projection einsums + the v5 chain kernel, for both exact and
+    approx-init routes. The recurrence math is shared (_ss_chain_step);
+    this pins the in-kernel projection algebra (reference semantics:
+    mambair_arch.py:339-369 x_dbl/dt_projs)."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan_pallas_chain, selective_scan_pallas_chain_proj)
+
+    rng = np.random.default_rng(13)
+    b, t, r, d, n, dtr = 1, 24, 16, 128, 4, 4
+    xc = jnp.asarray(rng.normal(size=(b, t, r, d)).astype(np.float32))
+    xpw = jnp.asarray((rng.normal(size=(dtr + 2 * n, d)) * 0.1
+                       ).astype(np.float32))
+    dtw = jnp.asarray((rng.normal(size=(d, dtr)) * 0.1).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(
+        (rng.normal(size=(d, n)) * 0.3).astype(np.float32)))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(d,)) * 0.1).astype(np.float32))
+
+    u = jax.nn.silu(xc)
+    dt_low = jnp.einsum("btrd,cd->btrc", u, xpw[:dtr],
+                        preferred_element_type=jnp.float32)
+    dt = jnp.einsum("btrc,dc->btrd", dt_low, dtw,
+                    preferred_element_type=jnp.float32).astype(u.dtype)
+    B = jnp.einsum("btrd,cd->btrc", u, xpw[dtr: dtr + n],
+                   preferred_element_type=jnp.float32).astype(u.dtype)
+    C = jnp.einsum("btrd,cd->btrc", u, xpw[dtr + n:],
+                   preferred_element_type=jnp.float32).astype(u.dtype)
+    ref = selective_scan_pallas_chain(u, dt, A, B, C, D, bias,
+                                      reverse=reverse, interpret=True,
+                                      approx_init=approx)
+    got = selective_scan_pallas_chain_proj(xc, xpw, dtw, A, D, bias,
+                                           reverse=reverse, interpret=True,
+                                           approx_init=approx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
