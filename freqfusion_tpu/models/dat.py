@@ -24,6 +24,7 @@ import numpy as np
 from ..ops.pad import pad_zeros
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.pooling import global_avg_pool
+from ..ops.conv1x1 import Conv1x1
 from ..ops.window_attention import (
     multi_head_window_attention, shifted_window_mask_rect, window_partition,
     window_reverse,
@@ -108,10 +109,10 @@ class SpatialAttention(nn.Module):
 
 def _interaction_convs(x, dims, names, train):
     """conv -> BN -> GELU -> conv chain used by the AIM maps."""
-    x = nn.Conv(dims[0], (1, 1), name=names[0])(x)
+    x = Conv1x1(dims[0], name=names[0])(x)
     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                      epsilon=1e-5, name=names[1])(x)
-    x = nn.Conv(dims[1], (1, 1), name=names[2])(nn.gelu(x, approximate=False))
+    x = Conv1x1(dims[1], name=names[2])(nn.gelu(x, approximate=False))
     return x
 
 

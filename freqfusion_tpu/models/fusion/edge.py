@@ -18,6 +18,7 @@ from jax import lax
 
 from ...ops.pooling import avg_pool_2x2
 from ...ops.resize import resize_bilinear
+from ...ops.conv1x1 import Conv1x1
 
 __all__ = ["LaplacianPyramidRefinement", "gaussian_blur_5x5"]
 
@@ -47,14 +48,14 @@ class EdgeRefineBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        identity = nn.Conv(self.feat_ch, (1, 1), name="proj")(x)
+        identity = Conv1x1(self.feat_ch, name="proj")(x)
         h = nn.gelu(nn.Conv(self.feat_ch, (3, 3), padding=((1, 1), (1, 1)),
                             name="conv1")(x))
         h = nn.gelu(nn.Conv(self.feat_ch, (3, 3), padding=((1, 1), (1, 1)),
                             name="conv2")(h))
         h = nn.Conv(self.feat_ch, (3, 3), padding=((1, 1), (1, 1)), name="conv3")(h)
         h = h + identity
-        a = nn.Conv(self.feat_ch // 4, (1, 1), name="attn_0")(h)
+        a = Conv1x1(self.feat_ch // 4, name="attn_0")(h)
         a = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), name="attn_2")(nn.gelu(a))
         return h * nn.sigmoid(a)
 

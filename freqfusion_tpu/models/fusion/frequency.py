@@ -28,6 +28,7 @@ from jax import lax
 
 from ...ops.pad import pad_reflect
 from ...ops.resize import resize_bilinear
+from ...ops.conv1x1 import Conv1x1
 
 __all__ = [
     "DCTDecomposition", "DWTDecomposition", "FFTDecomposition",
@@ -234,14 +235,14 @@ class AdaptiveBandFusion(nn.Module):
 
         hidden = 64
         out_ch = self.out_bands * in_ch
-        t = nn.Conv(hidden, (1, 1), name="fusion_transform_0")(concat)
-        t = nn.Conv(out_ch, (1, 1), name="fusion_transform_2")(nn.gelu(t))
-        g = nn.Conv(hidden, (1, 1), name="fusion_gate_0")(concat)
-        g = nn.sigmoid(nn.Conv(out_ch, (1, 1), name="fusion_gate_2")(nn.gelu(g)))
+        t = Conv1x1(hidden, name="fusion_transform_0")(concat)
+        t = Conv1x1(out_ch, name="fusion_transform_2")(nn.gelu(t))
+        g = Conv1x1(hidden, name="fusion_gate_0")(concat)
+        g = nn.sigmoid(Conv1x1(out_ch, name="fusion_gate_2")(nn.gelu(g)))
         fused = t * g
 
         dct_concat = jnp.concatenate(bands[:3], axis=-1)
-        fused = fused + 0.3 * nn.Conv(out_ch, (1, 1), name="dct_residual")(dct_concat)
+        fused = fused + 0.3 * Conv1x1(out_ch, name="dct_residual")(dct_concat)
         return list(jnp.split(fused, self.out_bands, axis=-1))
 
 

@@ -27,6 +27,7 @@ from .edge import LaplacianPyramidRefinement
 from .frequency import MultiDomainFrequencyDecomposition
 from .hierarchical import HierarchicalMultiResolutionFusion
 from .lka import EnhancedCollaborativeWithLKA, EnhancedCrossBandWithLKA
+from ...ops.conv1x1 import Conv1x1
 
 __all__ = ["DynamicExpertSelector", "CompleteEnhancedFusionSR", "EXPERT_ORDER"]
 
@@ -133,15 +134,15 @@ class CompleteEnhancedFusionSR(nn.Module):
                 name="multi_res")(expert_dict)
 
             routing_hr = resize_bilinear(routing_lr, h_hr, w_hr)
-            fl = nn.Conv(16, (1, 1), name="freq_weight_conv_0")(routing_hr)
-            freq_logits = nn.Conv(self.num_experts, (1, 1),
+            fl = Conv1x1(16, name="freq_weight_conv_0")(routing_hr)
+            freq_logits = Conv1x1(self.num_experts,
                                   name="freq_weight_conv_2")(nn.gelu(fl))
             freq_weights = nn.softmax(freq_logits, axis=-1)
             freq_fused = sum(out * freq_weights[..., i : i + 1]
                              for i, out in enumerate(enhanced_outputs))
             fused = hierarchical * 0.7 + freq_fused * 0.3
         else:
-            fused = nn.Conv(3, (1, 1), name="simple_fusion")(
+            fused = Conv1x1(3, name="simple_fusion")(
                 jnp.concatenate(enhanced_outputs, axis=-1))
 
         # ── Phase 6: dynamic expert selection ──────────────────────────

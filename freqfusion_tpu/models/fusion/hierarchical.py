@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.resize import resize_bilinear
+from ...ops.conv1x1 import Conv1x1
 
 __all__ = ["SpatialGate", "FusionResBlock", "HierarchicalMultiResolutionFusion"]
 
@@ -24,8 +25,8 @@ class SpatialGate(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
-        g = nn.Conv(c // 4, (1, 1), name="gate_0")(x)
-        g = nn.Conv(1, (1, 1), name="gate_2")(nn.gelu(g))
+        g = Conv1x1(c // 4, name="gate_0")(x)
+        g = Conv1x1(1, name="gate_2")(nn.gelu(g))
         return x * nn.sigmoid(g)
 
 

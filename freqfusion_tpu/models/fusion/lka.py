@@ -23,6 +23,7 @@ from typing import Dict, List
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.conv1x1 import Conv1x1
 from ...ops.resize import resize_bilinear
 
 __all__ = [
@@ -49,7 +50,7 @@ class LargeKernelAttention(nn.Module):
         attn = _dwconv(x, 5, 5, "local_conv")
         attn = _dwconv(attn, 1, k, "h_conv")
         attn = _dwconv(attn, k, 1, "v_conv")
-        attn = nn.Conv(dim, (1, 1), use_bias=False, name="pw_conv")(attn)
+        attn = Conv1x1(dim, use_bias=False, name="pw_conv")(attn)
         attn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(attn)
         return x * nn.sigmoid(attn)
@@ -73,8 +74,8 @@ class LKABlock(nn.Module):
 
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="norm2")(x)
-        h = nn.Conv(int(dim * self.ffn_ratio), (1, 1), name="ffn_0")(h)
-        h = nn.Conv(dim, (1, 1), name="ffn_2")(nn.gelu(h))
+        h = Conv1x1(int(dim * self.ffn_ratio), name="ffn_0")(h)
+        h = Conv1x1(dim, name="ffn_2")(nn.gelu(h))
         return x + scale2 * h
 
 
@@ -129,7 +130,7 @@ class EnhancedCrossBandWithLKA(nn.Module):
     def __call__(self, bands: List[jnp.ndarray], train: bool = False
                  ) -> List[jnp.ndarray]:
         num_bands = len(bands)
-        proj = nn.Conv(self.dim, (1, 1), name="band_proj")
+        proj = Conv1x1(self.dim, name="band_proj")
         projected = jnp.stack([proj(b) for b in bands], axis=-2)  # [B,H,W,T,dim]
 
         normed = nn.LayerNorm(name="norm")(projected)
@@ -138,7 +139,7 @@ class EnhancedCrossBandWithLKA(nn.Module):
         attn = attn + projected
 
         lka = LKABlock(self.lka_kernel, name="lka_block")
-        out_proj = nn.Conv(3, (1, 1), name="out_proj")
+        out_proj = Conv1x1(3, name="out_proj")
         out = []
         for i in range(num_bands):
             feat = lka(attn[..., i, :], train)
@@ -169,7 +170,7 @@ class EnhancedCollaborativeWithLKA(nn.Module):
         aligned = []
         for name in names:
             feat = expert_features[name]
-            aligned.append(nn.Conv(self.feature_dim, (1, 1),
+            aligned.append(Conv1x1(self.feature_dim,
                                    name=f"align_{name}")(feat))
         stacked = jnp.stack(aligned, axis=-2)  # [B, H, W, E, C]
 
@@ -188,8 +189,9 @@ class EnhancedCollaborativeWithLKA(nn.Module):
         for i, out in enumerate(expert_outputs):
             feat = lka(stacked[..., i, :], train)
             feat_hr = resize_bilinear(feat, h_sr, w_sr)
-            m = nn.Conv(self.feature_dim // 4, (1, 1), name=f"modulation_{i}_0")(feat_hr)
-            m = nn.Conv(3, (1, 1), name=f"modulation_{i}_2")(nn.gelu(m))
+            m = Conv1x1(self.feature_dim // 4,
+                        name=f"modulation_{i}_0")(feat_hr)
+            m = Conv1x1(3, name=f"modulation_{i}_2")(nn.gelu(m))
             mod = nn.sigmoid(m)
             e = out * (1.0 + 0.2 * (mod - 0.5))
             if not train:

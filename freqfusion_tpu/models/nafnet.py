@@ -27,6 +27,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.conv1x1 import Conv1x1
 from ..ops.pad import pad_zeros
 from ..ops.pixel_shuffle import pixel_shuffle
 from ..ops.pooling import global_avg_pool
@@ -100,7 +101,9 @@ class NAFBlock(nn.Module):
         shift_dw = os.environ.get("FREQFUSION_NAFNET_DWSHIFT", "0") == "1"
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(inp)
-        x = nn.Conv(dw, (1, 1), name="conv1")(x)
+        # 1x1s as dot_generals join the elementwise-fusion layout world
+        # (the conv lowering contributed to the 54 ms layout-copy bucket)
+        x = Conv1x1(dw, name="conv1")(x)
         if shift_dw:
             x = _DWConv3x3(dw, name="conv2")(x)
         else:
@@ -108,17 +111,17 @@ class NAFBlock(nn.Module):
                         feature_group_count=dw, name="conv2")(x)
         x = simple_gate(x)
         # Simplified channel attention: pooled 1x1 conv scale
-        sca = nn.Conv(dw // 2, (1, 1), name="sca")(global_avg_pool(x))
+        sca = Conv1x1(dw // 2, name="sca")(global_avg_pool(x))
         x = x * sca
-        x = nn.Conv(c, (1, 1), name="conv3")(x)
+        x = Conv1x1(c, name="conv3")(x)
 
         beta = self.param("beta", nn.initializers.zeros, (c,))
         y = inp + x * beta
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm2")(y)
-        x = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(x)
+        x = Conv1x1(self.ffn_expand * c, name="conv4")(x)
         x = simple_gate(x)
-        x = nn.Conv(c, (1, 1), name="conv5")(x)
+        x = Conv1x1(c, name="conv5")(x)
 
         gamma = self.param("gamma", nn.initializers.zeros, (c,))
         return y + x * gamma
@@ -159,7 +162,7 @@ class NAFNet(nn.Module):
             x = NAFBlock(chan, name=f"middle_blks_{j}")(x)
 
         for i, num in enumerate(self.dec_blk_nums):
-            x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"ups_{i}")(x)
+            x = Conv1x1(chan * 2, use_bias=False, name=f"ups_{i}")(x)
             x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + skips[-(i + 1)]
