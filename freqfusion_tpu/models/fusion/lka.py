@@ -108,8 +108,13 @@ class TokenMultiheadAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, hd)
 
         q, k, v = heads(q), heads(k), heads(v)
+        # fp32 MXU accumulation, but the materialized [N, h, T, T] logits
+        # and the softmax passes stay in the compute dtype: at T<=9 the
+        # bf16 softmax is well-conditioned, and the fp32 tensor was ~50 ms
+        # of softmax traffic in the r3 fusion trace (fp32 mode: no-op cast)
         logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+                            preferred_element_type=jnp.float32).astype(
+                                x.dtype) / jnp.asarray(jnp.sqrt(hd), x.dtype)
         weights = nn.softmax(logits, axis=-1).astype(x.dtype)
         if self.dropout > 0.0:
             weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
