@@ -113,13 +113,17 @@ class SS2D(nn.Module):
         pallas = use_pallas()
         spatial_ok = pallas and h % 8 == 0 and w % 8 == 0
         impl = os.environ.get("FREQFUSION_SCAN", "chain")
-        chain = spatial_ok and impl in ("chain", "chainv5")
-        # v6 (default "chain"): silu + the dt/B/C projections happen
+        chain = spatial_ok and impl in ("chain", "chainproj", "chainv5")
+        # v6/v7 (default "chain"): silu + the dt/B/C projections happen
         # INSIDE the scan kernels — the 132 MB activation is read once
         # per pass instead of once per projection einsum, and dt/B/C
         # never round-trip through HBM (~170 ms/img of XLA passes in the
-        # round-3 trace). "chainv5" keeps the explicit-projection route.
-        proj_in_kernel = chain and impl == "chain"
+        # round-3 trace). The default further uses the v7 single-dispatch
+        # kernel (whole 8-chain group resident in VMEM, one prologue,
+        # homogeneous correction pass) when the strips fit VMEM;
+        # "chainproj" pins the v6 three-dispatch route, "chainv5" the
+        # explicit-projection route.
+        proj_in_kernel = chain and impl in ("chain", "chainproj")
         spatial = spatial_ok and not chain
         dp = -(-d_inner // 128) * 128 if chain else d_inner
         pad_d = dp - d_inner
@@ -171,7 +175,9 @@ class SS2D(nn.Module):
             # zero). Exactness across chain boundaries comes from the
             # summary pass + O(rows) associative scan inside the wrapper.
             from ..ops.selective_scan import (
-                selective_scan_pallas_chain, selective_scan_pallas_chain_proj)
+                chain_fused_fits, selective_scan_pallas_chain,
+                selective_scan_pallas_chain_fused,
+                selective_scan_pallas_chain_proj)
 
             # VERDICT-r2 item 9: flag-gated approximate scan (independent
             # per-chain zero inits; skips the summary+compose passes).
@@ -197,10 +203,24 @@ class SS2D(nn.Module):
                 y_pair = None
                 # per-direction einsums (no [k, ...] stack to slice —
                 # the k-axis slices cost real copies per the trace)
+                t_len = x_lay.shape[1]
+                # v7 only on a real TPU backend: its interpret-mode
+                # emulation (manual DMA + two fori sweeps) is far slower
+                # than v6's, and CPU runs are always interpret. The v7<->
+                # v6 equivalence is pinned at the kernel level
+                # (test_pallas_scan.py) in interpret mode.
+                fused = (impl == "chain"
+                         and jax.default_backend() != "cpu"
+                         and chain_fused_fits(
+                             t_len, dp, n, x_lay.dtype.itemsize,
+                             x_lay.dtype.itemsize))
                 for j, rev in enumerate((False, True)):
                     k_idx = sel.indices(4)[0] + 2 * j     # 0/2 or 1/3
                     if proj_in_kernel:
-                        y_j = selective_scan_pallas_chain_proj(
+                        scan_fn = (selective_scan_pallas_chain_fused
+                                   if fused else
+                                   selective_scan_pallas_chain_proj)
+                        y_j = scan_fn(
                             x_lay, xpw_p[k_idx], dtw_p[k_idx], A_p[k_idx],
                             D_p[k_idx], bias_p[k_idx], reverse=rev,
                             out_dtype=x_lay.dtype, approx_init=approx)

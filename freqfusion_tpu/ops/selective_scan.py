@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["selective_scan", "selective_scan_pallas",
            "selective_scan_pallas_dirs", "selective_scan_pallas_bidir",
            "selective_scan_pallas_spatial", "selective_scan_pallas_chain",
-           "selective_scan_pallas_chain_proj"]
+           "selective_scan_pallas_chain_proj",
+           "selective_scan_pallas_chain_fused", "chain_fused_fits"]
 
 
 def _scan_combine(c1, c2):
@@ -1143,3 +1144,238 @@ def selective_scan_pallas_chain_proj(xc: jnp.ndarray,
             pltpu.VMEM((8, d * n), jnp.float32)],            # h
         interpret=interpret,
     )(xc, wf, init, a_rows, dskip, bias)
+
+
+# ---------------------------------------------------------------------------
+# v7: single-dispatch fused chain scan (strips resident, correction pass)
+# ---------------------------------------------------------------------------
+#
+# v6 still runs three pallas dispatches per direction (summary, compose,
+# main), re-reads xc and re-runs the silu+projection prologue in both
+# sweep kernels, and round-trips the per-chain (P, F) summaries and inits
+# through HBM. v7 collapses everything into ONE kernel per direction:
+# the grid is (B, R/8) and each step owns a whole 8-chain group. xc and y
+# live in ANY (HBM) and move via explicit DMA; the prologue runs ONCE,
+# materializing u / delta(post-softplus) / B / C strips for the full
+# [T, 8] group in VMEM (~12 MB at T=512, Dp=384, N=16).
+#
+# The exact cross-chain seeding also gets cheaper. By linearity of
+#     h_t = a_t h_{t-1} + b_t
+# the seeded solution is  h_t = h0_t + (prod_{s<=t} a_s) * init,  so:
+#   sweep 1: zero-init recurrence -> y0 strip, final states F, sum-of-
+#            delta S (P = exp(A*S) by telescoping);
+#   compose: sequential over the 8 rows with the cross-group carry
+#            (carried in scratch across grid steps) -> per-chain init;
+#   sweep 2: the HOMOGENEOUS recurrence z_t = a_t z_{t-1}, z_0 = init,
+#            adding C_t . z_t into the y strip — no b_t build, no du,
+#            ~2 fewer VPU ops per state element than re-scanning.
+# Sweep 2 reuses the SAME stored delta as sweep 1, so the decomposition
+# is deterministic; in fp32 it matches the seeded recurrence to ulp
+# (pinned against v5/v6 by test_pallas_scan.py).
+
+
+def _ss_chainf_step(u_w, delta, bb, cc, a_ref, hs, dskip, *, n: int,
+                    use_exp2: bool):
+    """One zero-init/main step over 8 chains: advances ``hs`` and returns
+    y. All inputs already in fp32 except u_w/bb/cc (io dtype)."""
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    u_w = u_w.astype(jnp.float32)
+    du = delta * u_w
+    bb = bb.astype(jnp.float32)
+    y = u_w * dskip
+    for i in range(n):
+        a_i = _exp(delta * a_ref[i: i + 1])
+        hs[i] = a_i * hs[i] + du * jnp.broadcast_to(bb[:, i: i + 1], du.shape)
+        y = y + hs[i] * jnp.broadcast_to(
+            cc[:, i: i + 1].astype(jnp.float32), du.shape)
+    return y
+
+
+def _ss_chain_fused_kernel(xc_hbm, wf_ref, a_ref, dskip_ref, bias_ref,
+                           y_hbm, xbuf, u_scr, d_scr, b_scr, c_scr,
+                           y_scr, f_scr, z_scr, carry_scr,
+                           in_sem, out_sem, *, dp: int, n: int, wc: int,
+                           reverse: bool, use_exp2: bool,
+                           approx_init: bool, unroll: int = 8):
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    g = pl.num_programs(1)
+    t = u_scr.shape[0]
+    f32 = jnp.float32
+    _exp = jnp.exp2 if use_exp2 else jnp.exp
+    row_sl = pl.ds((g - 1 - j if reverse else j) * 8, 8)
+
+    @pl.when(j == 0)
+    def _():
+        carry_scr[:] = jnp.zeros_like(carry_scr)
+
+    bias = bias_ref[:]
+    dskip = dskip_ref[:]
+
+    # ---- prologue: DMA xc chunks; u / delta / B / C strips in VMEM ----
+    for ci in range(t // wc):
+        cp = pltpu.make_async_copy(
+            xc_hbm.at[bi, pl.ds(ci * wc, wc), row_sl, :], xbuf, in_sem)
+        cp.start()
+        cp.wait()
+        xf = xbuf[:].astype(f32)
+        u = xf * jax.nn.sigmoid(xf)
+        sl = pl.ds(ci * wc, wc)
+        u_scr[sl] = u.astype(u_scr.dtype)
+        proj = jax.lax.dot_general(
+            u.astype(xbuf.dtype).reshape(wc * 8, dp), wf_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        d_scr[sl] = jax.nn.softplus(
+            proj[:, :dp] + bias).reshape(wc, 8, dp).astype(d_scr.dtype)
+        b_scr[sl] = proj[:, dp: dp + n].reshape(wc, 8, n).astype(b_scr.dtype)
+        c_scr[sl] = proj[:, dp + 128: dp + 128 + n].reshape(
+            wc, 8, n).astype(c_scr.dtype)
+
+    U = unroll if t % unroll == 0 else 1
+
+    # ---- sweep 1: zero-init recurrence; y0, F, S ----
+    def body1(wi, carry):
+        S, hs = carry
+        hs = list(hs)
+        for k in range(U):
+            w = wi * U + k
+            idx = t - 1 - w if reverse else w
+            delta = d_scr[idx].astype(f32)
+            y = _ss_chainf_step(u_scr[idx], delta, b_scr[idx], c_scr[idx],
+                                a_ref, hs, dskip, n=n, use_exp2=use_exp2)
+            y_scr[idx] = y.astype(y_scr.dtype)
+            S = S + delta
+        return S, tuple(hs)
+
+    hs0 = tuple(jnp.zeros((8, dp), f32) for _ in range(n))
+    S, hs = jax.lax.fori_loop(0, t // U, body1,
+                              (jnp.zeros((8, dp), f32), hs0), unroll=1)
+    f_scr[:] = jnp.concatenate(hs, axis=1)
+
+    if not approx_init:
+        # ---- compose: P = exp(A*S) rows x carry -> per-chain inits ----
+        p_rows = jnp.concatenate(
+            [_exp(S * a_ref[i: i + 1]) for i in range(n)], axis=1)
+        carry = carry_scr[:]
+        rows = range(7, -1, -1) if reverse else range(8)
+        for s in rows:
+            z_scr[s: s + 1] = carry
+            carry = p_rows[s: s + 1] * carry + f_scr[s: s + 1]
+        carry_scr[:] = carry
+
+        # ---- sweep 2: homogeneous recurrence from the inits ----
+        def body2(wi, zs):
+            zs = list(zs)
+            for k in range(U):
+                w = wi * U + k
+                idx = t - 1 - w if reverse else w
+                delta = d_scr[idx].astype(f32)
+                cc = c_scr[idx]
+                y = y_scr[idx].astype(f32)
+                for i in range(n):
+                    zs[i] = _exp(delta * a_ref[i: i + 1]) * zs[i]
+                    y = y + zs[i] * jnp.broadcast_to(
+                        cc[:, i: i + 1].astype(f32), zs[i].shape)
+                y_scr[idx] = y.astype(y_scr.dtype)
+            return tuple(zs)
+
+        zs0 = tuple(z_scr[:, i * dp: (i + 1) * dp] for i in range(n))
+        jax.lax.fori_loop(0, t // U, body2, zs0, unroll=1)
+
+    cpo = pltpu.make_async_copy(
+        y_scr, y_hbm.at[bi, :, row_sl, :], out_sem)
+    cpo.start()
+    cpo.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("reverse", "use_exp2",
+                                             "out_dtype", "interpret",
+                                             "approx_init"))
+def selective_scan_pallas_chain_fused(xc: jnp.ndarray,
+                                      x_proj_w: jnp.ndarray,
+                                      dt_proj_w: jnp.ndarray,
+                                      A: jnp.ndarray,
+                                      D: jnp.ndarray,
+                                      delta_bias: jnp.ndarray,
+                                      reverse: bool = False,
+                                      use_exp2: bool = True,
+                                      out_dtype=None,
+                                      interpret: bool = False,
+                                      approx_init: bool = False
+                                      ) -> jnp.ndarray:
+    """v7 fused chain scan — one pallas dispatch per direction.
+
+    Same contract as ``selective_scan_pallas_chain_proj`` (xc is the raw
+    PRE-silu conv output [B, T, R, Dp]; projections happen in-kernel).
+    Additional constraint: the whole [T, 8] group's u/delta/B/C/y strips
+    must fit VMEM — use :func:`chain_fused_fits` before routing here.
+    """
+    b, t, r, d = xc.shape
+    n = A.shape[-1]
+    dtr = x_proj_w.shape[0] - 2 * n
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if r % 8 != 0:
+        raise ValueError(f"R ({r}) must be a multiple of 8")
+    if d % 128 != 0:
+        raise ValueError(f"D ({d}) must be a lane multiple (pad to 128s)")
+    if n > 128 or dtr > d:
+        raise ValueError(f"N ({n}) must be <= 128 and dt_rank <= D")
+    out_dtype = out_dtype or jnp.float32
+    wc = _chain_chunk(t)
+    g = r // 8
+
+    a_rows = A.astype(jnp.float32).T  # [N, Dp]
+    if use_exp2:
+        a_rows = a_rows * jnp.float32(1.4426950408889634)
+    dskip = D.astype(jnp.float32).reshape(1, d)
+    bias = delta_bias.astype(jnp.float32).reshape(1, d)
+    wdt_full = x_proj_w[:dtr].astype(jnp.float32).T @ \
+        dt_proj_w.astype(jnp.float32).T
+    wb = jnp.pad(x_proj_w[dtr: dtr + n].astype(jnp.float32).T,
+                 [(0, 0), (0, 128 - n)])
+    wcw = jnp.pad(x_proj_w[dtr + n:].astype(jnp.float32).T,
+                  [(0, 0), (0, 128 - n)])
+    wf = jnp.concatenate([wdt_full, wb, wcw], axis=1).astype(xc.dtype)
+
+    def const(arr):
+        return pl.BlockSpec(arr.shape, lambda bi, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    io = xc.dtype
+    return pl.pallas_call(
+        functools.partial(_ss_chain_fused_kernel, dp=d, n=n, wc=wc,
+                          reverse=reverse, use_exp2=use_exp2,
+                          approx_init=approx_init),
+        grid=(b, g),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), const(wf),
+                  const(a_rows), const(dskip), const(bias)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, t, r, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((wc, 8, d), io),            # xbuf (DMA chunk)
+            pltpu.VMEM((t, 8, d), io),             # u
+            pltpu.VMEM((t, 8, d), io),             # delta (post-softplus)
+            pltpu.VMEM((t, 8, n), io),             # B
+            pltpu.VMEM((t, 8, n), io),             # C
+            pltpu.VMEM((t, 8, d), out_dtype),      # y strip
+            pltpu.VMEM((8, d * n), jnp.float32),   # F
+            pltpu.VMEM((8, d * n), jnp.float32),   # z inits
+            pltpu.VMEM((1, d * n), jnp.float32),   # cross-group carry
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xc, wf, a_rows, dskip, bias)
+
+
+def chain_fused_fits(t: int, d: int, n: int, itemsize: int = 2,
+                     out_itemsize: int = 2,
+                     budget: int = 13 * 1024 * 1024) -> bool:
+    """Whether the v7 resident strips fit the VMEM budget (16 MB/core on
+    v5e, minus weights/temporaries headroom)."""
+    strips = t * 8 * d * (2 * itemsize + out_itemsize)   # u, delta, y
+    strips += 2 * t * 8 * max(n, 128) * itemsize          # B, C (lane pad)
+    strips += _chain_chunk(t) * 8 * d * itemsize          # xbuf
+    strips += 3 * 8 * d * n * 4 + d * (d + 256) * itemsize
+    return strips <= budget

@@ -313,3 +313,34 @@ def test_selective_scan_pallas_chain_proj_matches_v5(reverse, approx):
                                            approx_init=approx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("approx", [False, True])
+def test_selective_scan_pallas_chain_fused_matches_proj(reverse, approx):
+    """v7 (single dispatch: strips resident via manual DMA, zero-init
+    sweep + homogeneous correction sweep) == v6 for both exact and
+    approx-init routes. Pins the linearity decomposition
+    h_t = h0_t + (prod a) * init and the in-kernel compose."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan_pallas_chain_fused, selective_scan_pallas_chain_proj)
+
+    rng = np.random.default_rng(17)
+    b, t, r, d, n, dtr = 2, 24, 16, 128, 4, 4
+    xc = jnp.asarray(rng.normal(size=(b, t, r, d)).astype(np.float32))
+    xpw = jnp.asarray((rng.normal(size=(dtr + 2 * n, d)) * 0.1
+                       ).astype(np.float32))
+    dtw = jnp.asarray((rng.normal(size=(d, dtr)) * 0.1).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(
+        (rng.normal(size=(d, n)) * 0.3).astype(np.float32)))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(d,)) * 0.1).astype(np.float32))
+
+    ref = selective_scan_pallas_chain_proj(xc, xpw, dtw, A, D, bias,
+                                           reverse=reverse, interpret=True,
+                                           approx_init=approx)
+    got = selective_scan_pallas_chain_fused(xc, xpw, dtw, A, D, bias,
+                                            reverse=reverse, interpret=True,
+                                            approx_init=approx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
