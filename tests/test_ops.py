@@ -10,6 +10,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from freqfusion_tpu.ops import (
@@ -93,3 +94,33 @@ def test_global_avg_pool(rng):
     got = np.asarray(global_avg_pool(jnp.asarray(x)))
     assert got.shape == (2, 1, 1, 5)
     np.testing.assert_allclose(got[:, 0, 0, :], x.mean(axis=(1, 2)), rtol=1e-6)
+
+
+def test_conv1x1_matches_conv_route(monkeypatch):
+    """Conv1x1 (dot_general) == nn.Conv 1x1 lowering, same param tree."""
+    import flax.linen as nn
+
+    from freqfusion_tpu.ops.conv1x1 import Conv1x1
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 6, 10, 24)).astype(np.float32))
+    mod = Conv1x1(16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    assert params["params"]["kernel"].shape == (1, 1, 24, 16)
+    ref_mod = nn.Conv(16, (1, 1))
+    y_ref = ref_mod.apply(params, x)
+
+    monkeypatch.delenv("FREQFUSION_CONV1X1", raising=False)
+    y_dot = mod.apply(params, x)
+    monkeypatch.setenv("FREQFUSION_CONV1X1", "conv")
+    y_conv = mod.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_ref),
+                               atol=1e-6, rtol=1e-6)
+
+    nb = Conv1x1(16, use_bias=False)
+    p2 = nb.init(jax.random.PRNGKey(1), x)
+    assert set(p2["params"]) == {"kernel"}
+    assert np.isfinite(np.asarray(nb.apply(p2, x))).all()
