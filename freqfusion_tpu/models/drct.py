@@ -53,15 +53,34 @@ class SplitQKV(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, raw: bool = False):
         d = self.dim
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], 3 * d))
         bias = self.param("bias", nn.initializers.zeros, (3 * d,))
         kernel = kernel.astype(x.dtype)
         bias = bias.astype(x.dtype)
+        if raw:  # the qkv-in-kernel attention applies the params itself
+            return kernel, bias
         return tuple(jnp.dot(x, kernel[:, i * d:(i + 1) * d])
                      + bias[i * d:(i + 1) * d] for i in range(3))
+
+
+class RawDense(nn.Module):
+    """Dense with nn.Dense's param tree (kernel [in, out], bias [out]) that
+    can also hand the raw params to a kernel (``raw=True``)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray = None, raw: bool = False):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if raw:
+            return kernel, bias
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
 class WindowAttention(nn.Module):
@@ -88,9 +107,23 @@ class WindowAttention(nn.Module):
         bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # nH, N, N
 
-        q, k, v = SplitQKV(self.dim, name="qkv")(x)
+        import os
+
         from ..ops.dispatch import use_pallas
-        if use_pallas() and h % ws == 0 and w % ws == 0:
+        pallas_ok = use_pallas() and h % ws == 0 and w % ws == 0
+        qkv = SplitQKV(self.dim, name="qkv")
+        proj = RawDense(self.dim, self.dim, name="proj")
+        if pallas_ok and os.environ.get("FREQFUSION_ATTN_QKV") == "1":
+            # qkv + output projection inside the kernel (one x read per
+            # block, no q/k/v HBM round trips or separate bias passes)
+            from ..ops.pallas_attention import fused_window_attention_qkv_nhwc
+            wqkv, bqkv = qkv(x, raw=True)
+            wp, bp = proj(raw=True)
+            return fused_window_attention_qkv_nhwc(
+                x, wqkv, bqkv, wp, bp, bias, mask,
+                num_heads=self.num_heads, window_size=ws)
+        q, k, v = qkv(x)
+        if pallas_ok:
             from ..ops.pallas_attention import fused_window_attention_nhwc
             out = fused_window_attention_nhwc(q, k, v, bias, mask,
                                               num_heads=self.num_heads,
@@ -100,7 +133,7 @@ class WindowAttention(nn.Module):
             out = multi_head_window_attention(qw, kw, vw, self.num_heads,
                                               bias=bias, mask=mask)
             out = window_reverse(out, ws, h, w)
-        return nn.Dense(self.dim, name="proj")(out)
+        return proj(out)
 
 
 class Mlp(nn.Module):

@@ -83,11 +83,23 @@ class WindowAttentionHAT(nn.Module):
         idx = jnp.asarray(relative_position_index(ws, ws).reshape(-1))
         bias = table[idx].reshape(ws * ws, ws * ws, self.num_heads)
         bias = bias.transpose(2, 0, 1)
-        from .drct import SplitQKV
-        q, k, v = SplitQKV(self.dim, name="qkv")(x)
+        import os
+
+        from .drct import RawDense, SplitQKV
         b, h, w, _ = x.shape
         from ..ops.dispatch import use_pallas
-        if use_pallas() and h % ws == 0 and w % ws == 0:
+        pallas_ok = use_pallas() and h % ws == 0 and w % ws == 0
+        qkv = SplitQKV(self.dim, name="qkv")
+        proj = RawDense(self.dim, self.dim, name="proj")
+        if pallas_ok and os.environ.get("FREQFUSION_ATTN_QKV") == "1":
+            from ..ops.pallas_attention import fused_window_attention_qkv_nhwc
+            wqkv, bqkv = qkv(x, raw=True)
+            wp, bp = proj(raw=True)
+            return fused_window_attention_qkv_nhwc(
+                x, wqkv, bqkv, wp, bp, bias, mask,
+                num_heads=self.num_heads, window_size=ws)
+        q, k, v = qkv(x)
+        if pallas_ok:
             from ..ops.pallas_attention import fused_window_attention_nhwc
             out = fused_window_attention_nhwc(q, k, v, bias, mask,
                                               num_heads=self.num_heads,
@@ -97,7 +109,7 @@ class WindowAttentionHAT(nn.Module):
             out = multi_head_window_attention(qw, kw, vw, self.num_heads,
                                               bias=bias, mask=mask)
             out = window_reverse(out, ws, h, w)
-        return nn.Dense(self.dim, name="proj")(out)
+        return proj(out)
 
 
 class HAB(nn.Module):

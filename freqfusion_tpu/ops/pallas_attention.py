@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_window_attention", "fused_window_attention_nhwc",
+           "fused_window_attention_qkv_nhwc",
            "fused_grl_mixed_attention_nhwc"]
 
 
@@ -160,19 +161,16 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # standard NHWC T(8,128) layout end to end.
 
 
-def _attn_nhwc_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
-                    num_heads: int, scale: float, ws: int, wpb: int):
-    c = q_ref.shape[3]
+def _attn_heads(q_all, k_all, v_all, bias_ref, mask, num_heads: int,
+                scale: float, out_dtype):
+    """Batched per-head window attention over [W, N, C] tiles -> [W, N, C].
+    All wpb windows ride a dot_general batch dimension (one dot pair per
+    head, softmax vectorized over [wpb*N, N]) — per-(window, head)
+    unrolled bodies measured ~5x slower in the GRL mixed kernel."""
+    c = q_all.shape[-1]
     hd = c // num_heads
-    in_dtype = q_ref.dtype
+    in_dtype = q_all.dtype
     f32 = jnp.float32
-    # All wpb windows ride a dot_general batch dimension (one dot pair per
-    # head, softmax vectorized over [wpb*N, N]) — per-(window, head)
-    # unrolled bodies measured ~5x slower in the GRL mixed kernel.
-    q_all = _tiles(q_ref, ws, wpb, c)
-    k_all = _tiles(k_ref, ws, wpb, c)
-    v_all = _tiles(v_ref, ws, wpb, c)
-    mask = None if mask_ref is None else mask_ref[...].astype(f32)
     heads = []
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
@@ -189,8 +187,21 @@ def _attn_nhwc_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
         heads.append(jax.lax.dot_general(
             attn.astype(in_dtype), v_all[:, :, sl],
             dimension_numbers=_BATCHED_PV,
-            preferred_element_type=f32).astype(o_ref.dtype))    # [W,N,hd]
-    o_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
+            preferred_element_type=f32).astype(out_dtype))      # [W,N,hd]
+    return jnp.concatenate(heads, -1)
+
+
+def _attn_nhwc_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
+                    num_heads: int, scale: float, ws: int, wpb: int):
+    c = q_ref.shape[3]
+    f32 = jnp.float32
+    q_all = _tiles(q_ref, ws, wpb, c)
+    k_all = _tiles(k_ref, ws, wpb, c)
+    v_all = _tiles(v_ref, ws, wpb, c)
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    out = _attn_heads(q_all, k_all, v_all, bias_ref, mask, num_heads,
+                      scale, o_ref.dtype)
+    o_ref[0] = _untile(out, ws, wpb, c)[0]
 
 
 def _nhwc_kernel_nomask(q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -524,6 +535,164 @@ def fused_grl_mixed_attention_nhwc(
             bytes_accessed=8 * b * hh * ww_ * c * qw.dtype.itemsize,
             transcendentals=b * nw * (num_heads_w * n * n
                                       + num_heads_s * 2 * na * n),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# qkv + output projection INSIDE the window-attention kernel
+# ---------------------------------------------------------------------------
+#
+# The NHWC kernel still pays an XLA boundary per layer: the packed qkv
+# projection materializes three [B, H, W, C] tensors (write + kernel
+# re-read ~500 MB/layer at DRCT geometry), their bias adds run as
+# separate elementwise passes (45 ms/img across DRCT's 60 layers in the
+# r3 trace), and the output projection re-reads the attention output.
+# This variant reads x once per block and computes
+#     qkv  = x @ Wqkv + b      (ONE dot; q/k/v segments zero-padded to
+#                               lane-tile-aligned 128-multiple columns)
+#     attn = window attention  (shared _attn_heads body)
+#     out  = attn @ Wproj + b  (one more dot)
+# entirely in VMEM. Param layout matches SplitQKV/Dense so the converted
+# torch weights feed both routes. Gated by FREQFUSION_ATTN_QKV (default
+# OFF until the hardware A/B lands — the scan-v6 experience says per-
+# block dots on reshaped operands can carry fixed costs).
+
+
+def _qkv_kernel_body(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                     mask_ref, o_ref, *, num_heads: int, scale: float,
+                     ws: int, wpb: int, c: int, cseg: int):
+    cin = x_ref.shape[3]
+    n = ws * ws
+    dt = x_ref.dtype
+    f32 = jnp.float32
+    x_all = _tiles(x_ref, ws, wpb, cin)                  # [W, N, Cin]
+    x2 = x_all.reshape(wpb * n, cin)
+    qkv = jax.lax.dot_general(x2, wqkv_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    qkv = (qkv + bqkv_ref[:].astype(f32)).astype(dt)     # [W*N, 3*Cseg]
+    q_all = qkv[:, :c].reshape(wpb, n, c)
+    k_all = qkv[:, cseg: cseg + c].reshape(wpb, n, c)
+    v_all = qkv[:, 2 * cseg: 2 * cseg + c].reshape(wpb, n, c)
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    out = _attn_heads(q_all, k_all, v_all, bias_ref, mask, num_heads,
+                      scale, dt)
+    out = jax.lax.dot_general(out.reshape(wpb * n, c), wp_ref[:],
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    out = (out + bp_ref[:].astype(f32)).astype(o_ref.dtype)
+    o_ref[0] = _untile(out.reshape(wpb, n, c), ws, wpb, c)[0]
+
+
+def _qkv_kernel_nomask(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                       o_ref, **kw):
+    _qkv_kernel_body(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                     None, o_ref, **kw)
+
+
+def _qkv_kernel_mask(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                     mask_ref, o_ref, **kw):
+    _qkv_kernel_body(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                     mask_ref, o_ref, **kw)
+
+
+def _pick_wpb_qkv(nww: int, ws: int, c: int, cseg: int, itemsize: int) -> int:
+    """VMEM bound: x/o blocks (double-buffered), the [W*N, 3*Cseg] qkv
+    value, fp32 attention scratch, and the two weight operands."""
+    budget = 8 * 1024 * 1024
+    n = ws * ws
+    per_window = (2 * 2 * n * c * itemsize          # x/o blocks, dbuf
+                  + 3 * n * cseg * itemsize         # qkv value
+                  + 3 * n * n * 4)                  # fp32 attn scratch
+    cap = max(1, (budget - 4 * c * cseg * itemsize) // per_window)
+    for wpb in (16, 8, 4, 2, 1):
+        if wpb <= cap and nww % wpb == 0:
+            return wpb
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale",
+                                             "window_size", "interpret"))
+def fused_window_attention_qkv_nhwc(x: jnp.ndarray,
+                                    wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+                                    wproj: jnp.ndarray, bproj: jnp.ndarray,
+                                    bias: jnp.ndarray,
+                                    mask: Optional[jnp.ndarray],
+                                    num_heads: int, window_size: int,
+                                    scale: Optional[float] = None,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """x: [B, H, W, Cin]; wqkv: [Cin, 3C] (torch MHA packed layout),
+    bqkv: [3C]; wproj: [C, C], bproj: [C]; bias [nH, N, N];
+    mask [nW, N, N] or None. Returns proj(window_attention(qkv(x))),
+    [B, H, W, C]."""
+    b, hh, ww_, cin = x.shape
+    c = wqkv.shape[1] // 3
+    ws = window_size
+    n = ws * ws
+    hd = c // num_heads
+    scale = float(hd ** -0.5) if scale is None else float(scale)
+    nwh, nww = hh // ws, ww_ // ws
+    cseg = -(-c // 128) * 128
+    wpb = _pick_wpb_qkv(nww, ws, c, cseg, x.dtype.itemsize)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+
+    # lane-tile-aligned q|k|v segments (zero-padded to Cseg columns each)
+    def seg(i):
+        return jnp.pad(wqkv[:, i * c: (i + 1) * c], [(0, 0), (0, cseg - c)])
+
+    wq_packed = jnp.concatenate([seg(0), seg(1), seg(2)], 1).astype(x.dtype)
+    bq_packed = jnp.concatenate(
+        [jnp.pad(bqkv[i * c: (i + 1) * c], [(0, cseg - c)])
+         for i in range(3)]).reshape(1, 3 * cseg).astype(x.dtype)
+    wp = wproj.astype(x.dtype)
+    bp = bproj.reshape(1, c).astype(x.dtype)
+
+    steps_w = nww // wpb
+    x_spec = pl.BlockSpec((1, ws, ws * wpb, cin),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, ws, ws * wpb, c),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, n, n), lambda bi, i, j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def const(arr):
+        return pl.BlockSpec(arr.shape, lambda bi, i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    static = dict(num_heads=num_heads, scale=scale, ws=ws, wpb=wpb, c=c,
+                  cseg=cseg)
+    common_specs = [x_spec, const(wq_packed), const(bq_packed), const(wp),
+                    const(bp), bias_spec]
+    common_args = (x, wq_packed, bq_packed, wp, bp, bias)
+    if mask is None:
+        kernel = functools.partial(_qkv_kernel_nomask, **static)
+        in_specs = common_specs
+        args = common_args
+    else:
+        mask_spec = pl.BlockSpec(
+            (wpb, n, n), lambda bi, i, j: (i * steps_w + j, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_qkv_kernel_mask, **static)
+        in_specs = common_specs + [mask_spec]
+        args = common_args + (mask.astype(x.dtype),)
+
+    nw = nwh * nww
+    flops_per = (num_heads * 2 * n * n * hd * 2
+                 + 2 * n * (cin * 3 * c + c * c))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, steps_w),
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * b * nw,
+            bytes_accessed=2 * b * hh * ww_ * c * x.dtype.itemsize,
+            transcendentals=b * nw * num_heads * n * n,
         ),
         interpret=interpret,
     )(*args)

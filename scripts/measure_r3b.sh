@@ -16,6 +16,8 @@ echo "=== drct conv1x1-dot (default) ==="
 T python scripts/trace_expert.py drct --dtype bf16 --top 0
 echo "=== drct conv1x1=conv (old) ==="
 FREQFUSION_CONV1X1=conv T python scripts/trace_expert.py drct --dtype bf16 --top 0
+echo "=== drct qkv+proj in-kernel (FREQFUSION_ATTN_QKV=1) ==="
+FREQFUSION_ATTN_QKV=1 T python scripts/trace_expert.py drct --dtype bf16 --top 0
 echo "=== nafnet conv1x1-dot (default) ==="
 T python scripts/trace_expert.py nafnet --dtype bf16 --top 0
 echo "=== nafnet conv1x1=conv (old) ==="

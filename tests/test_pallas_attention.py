@@ -75,3 +75,28 @@ def test_fused_window_attention_nhwc_matches_einsum(with_mask):
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_qkv_in_kernel_matches_split_route(monkeypatch, shifted):
+    """FREQFUSION_ATTN_QKV=1 (qkv + proj inside the kernel) == the
+    SplitQKV -> fused_window_attention_nhwc -> proj route, at the
+    WindowAttention module level (DRCT geometry, non-128-multiple C)."""
+    from freqfusion_tpu.models.drct import WindowAttention
+    from freqfusion_tpu.ops.window_attention import shifted_window_mask
+
+    rng = np.random.default_rng(5)
+    b, h, w, c, ws, nh = 1, 16, 24, 60, 8, 6
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    mask_np = shifted_window_mask(h, w, ws, ws // 2 if shifted else 0)
+    mask = None if mask_np is None else jnp.asarray(mask_np)
+    mod = WindowAttention(c, ws, nh)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    monkeypatch.delenv("FREQFUSION_ATTN_QKV", raising=False)
+    ref = mod.apply(params, x, mask)
+    monkeypatch.setenv("FREQFUSION_ATTN_QKV", "1")
+    got = mod.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
