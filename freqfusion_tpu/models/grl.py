@@ -141,7 +141,7 @@ class _SplitQKV6(nn.Module):
     dim: int  # C
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, raw: bool = False):
         c = self.dim
         c2 = c // 2
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
@@ -149,6 +149,8 @@ class _SplitQKV6(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (3 * c,))
         kernel = kernel.astype(x.dtype)
         bias = bias.astype(x.dtype)
+        if raw:  # the qkv-in-kernel mixed attention applies these itself
+            return kernel, bias
         return tuple(jnp.dot(x, kernel[:, i * c2:(i + 1) * c2])
                      + bias[i * c2:(i + 1) * c2] for i in range(6))
 
@@ -357,10 +359,12 @@ class MixedAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         c = self.dim
         c2 = c // 2
         b, h, w, _ = x.shape
-        qw, kw, vw, qs, ks, vs = _SplitQKV6(c, name="qkv")(x)
+        qkv = _SplitQKV6(c, name="qkv")
         # anchor: avgpool 2x + linear to C/2 (AnchorLinear,
         # mixed_attn_block.py:712-736)
         anchor = nn.Dense(c2, name="anchor")(avg_pool_2x2(x))
@@ -376,10 +380,34 @@ class MixedAttention(nn.Module):
         ws = self.window_size
         # Combined mixed-attention kernel: GRL-B geometry only (stripe
         # tile == window tile, both divide the padded H/W).
-        if (use_pallas() and tuple(self.stripe_size) == (ws, ws)
-                and h % ws == 0 and w % ws == 0
-                and c2 % self.num_heads_w == 0
-                and c2 % self.num_heads_s == 0):
+        kernel_ok = (use_pallas() and tuple(self.stripe_size) == (ws, ws)
+                     and h % ws == 0 and w % ws == 0
+                     and c2 % self.num_heads_w == 0
+                     and c2 % self.num_heads_s == 0)
+        if kernel_ok and os.environ.get("FREQFUSION_GRL_QKV") == "1":
+            # 6-way qkv projection in-kernel: only the C-wide x streams
+            # (plus its roll for shifted blocks) instead of six C/2
+            # q/k/v tensors; window half projects from the rolled strip.
+            from ..ops.pallas_attention import (
+                fused_grl_mixed_attention_qkv_nhwc)
+            ss = ws // 2 if self.window_shift else 0
+            scale_w, bias_w = window.mixed_kernel_inputs()
+            s1, s2, bias_s1, bias_s2 = stripe.mixed_kernel_inputs()
+            w6, b6 = qkv(x, raw=True)
+            mask_np = window_shift_mask(h, w, ws, ss)
+            mask = None if mask_np is None else jnp.asarray(mask_np)
+            x_rolled = (jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+                        if ss else None)
+            x_window, x_stripe = fused_grl_mixed_attention_qkv_nhwc(
+                x, x_rolled, anchor, w6, b6, scale_w, s1, s2,
+                bias_w, bias_s1, bias_s2, mask,
+                num_heads_w=self.num_heads_w, num_heads_s=self.num_heads_s,
+                window_size=ws, down_factor=self.anchor_down_factor)
+            if ss:
+                x_window = jnp.roll(x_window, shift=(ss, ss), axis=(1, 2))
+            return _ProjPair(c, name="proj")(x_window, x_stripe)
+        qw, kw, vw, qs, ks, vs = qkv(x)
+        if kernel_ok:
             from ..ops.pallas_attention import fused_grl_mixed_attention_nhwc
             ss = ws // 2 if self.window_shift else 0
             scale_w, bias_w = window.mixed_kernel_inputs()

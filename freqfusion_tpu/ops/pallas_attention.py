@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_window_attention", "fused_window_attention_nhwc",
            "fused_window_attention_qkv_nhwc",
-           "fused_grl_mixed_attention_nhwc"]
+           "fused_grl_mixed_attention_nhwc",
+           "fused_grl_mixed_attention_qkv_nhwc"]
 
 
 def _attn_body(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref,
@@ -359,16 +360,17 @@ def _cosnorm(x, seg, dt):
     return (xf * invc).astype(dt)
 
 
-def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
-                    a_ref, sw_ref, s1_ref, s2_ref,
+def _grl_mixed_core(qw, kw, vw, qs, ks, vs, an,
+                    sw_ref, s1_ref, s2_ref,
                     bias_w_ref, bias_s1_ref, bias_s2_ref,
-                    mask_ref, ow_ref, os_ref, num_heads_w: int,
-                    num_heads_s: int, ws: int, df: int, wpb: int):
-    c = qw_ref.shape[3]
-    aws = ws // df
+                    mask, ow_ref, os_ref, num_heads_w: int,
+                    num_heads_s: int, ws: int, wpb: int):
+    """Mixed window + anchored-stripe attention over already-tiled
+    [wpb, N, C2] values (and [wpb, Na, C2] anchor)."""
+    c = qw.shape[-1]
     hdw = c // num_heads_w
     hds = c // num_heads_s
-    dt = qw_ref.dtype
+    dt = qw.dtype
     f32 = jnp.float32
     seg_w = _head_seg(c, num_heads_w)
     seg_s = _head_seg(c, num_heads_s)
@@ -378,10 +380,8 @@ def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
     # over [wpb*N, N] — per-step instruction count drops ~wpb-fold. The
     # clamped logit scale is a per-head scalar, so it commutes with the
     # cosine dot and multiplies the attention logits here instead of q.
-    qw = _cosnorm(_tiles(qw_ref, ws, wpb, c), seg_w, dt)
-    kw = _cosnorm(_tiles(kw_ref, ws, wpb, c), seg_w, dt)
-    vw = _tiles(vw_ref, ws, wpb, c)
-    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    qw = _cosnorm(qw, seg_w, dt)
+    kw = _cosnorm(kw, seg_w, dt)
     heads = []
     for h in range(num_heads_w):
         sl = slice(h * hdw, (h + 1) * hdw)
@@ -398,10 +398,9 @@ def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
             preferred_element_type=f32).astype(dt))             # [W,N,hd]
     ow_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
 
-    qs = _cosnorm(_tiles(qs_ref, ws, wpb, c), seg_s, dt)
-    ks = _cosnorm(_tiles(ks_ref, ws, wpb, c), seg_s, dt)
-    vs = _tiles(vs_ref, ws, wpb, c)
-    an = _cosnorm(_tiles(a_ref, aws, wpb, c), seg_s, dt)
+    qs = _cosnorm(qs, seg_s, dt)
+    ks = _cosnorm(ks, seg_s, dt)
+    an = _cosnorm(an, seg_s, dt)
     heads = []
     for h in range(num_heads_s):
         sl = slice(h * hds, (h + 1) * hds)
@@ -426,6 +425,24 @@ def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
     os_ref[0] = _untile(jnp.concatenate(heads, -1), ws, wpb, c)[0]
 
 
+def _grl_mixed_body(qw_ref, kw_ref, vw_ref, qs_ref, ks_ref, vs_ref,
+                    a_ref, sw_ref, s1_ref, s2_ref,
+                    bias_w_ref, bias_s1_ref, bias_s2_ref,
+                    mask_ref, ow_ref, os_ref, num_heads_w: int,
+                    num_heads_s: int, ws: int, df: int, wpb: int):
+    c = qw_ref.shape[3]
+    aws = ws // df
+    f32 = jnp.float32
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    _grl_mixed_core(_tiles(qw_ref, ws, wpb, c), _tiles(kw_ref, ws, wpb, c),
+                    _tiles(vw_ref, ws, wpb, c), _tiles(qs_ref, ws, wpb, c),
+                    _tiles(ks_ref, ws, wpb, c), _tiles(vs_ref, ws, wpb, c),
+                    _tiles(a_ref, aws, wpb, c),
+                    sw_ref, s1_ref, s2_ref,
+                    bias_w_ref, bias_s1_ref, bias_s2_ref,
+                    mask, ow_ref, os_ref, num_heads_w, num_heads_s, ws, wpb)
+
+
 def _grl_kernel_nomask(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
                        ow, os_, *, num_heads_w, num_heads_s, ws, df, wpb):
     _grl_mixed_body(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
@@ -437,6 +454,53 @@ def _grl_kernel_mask(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
                      wpb):
     _grl_mixed_body(qw, kw, vw, qs, ks, vs, a, sw, s1, s2, bw, b1, b2,
                     mask, ow, os_, num_heads_w, num_heads_s, ws, df, wpb)
+
+
+def _grl_qkv_body(x_ref, xr_ref, a_ref, wq_ref, bq_ref,
+                  sw_ref, s1_ref, s2_ref,
+                  bias_w_ref, bias_s1_ref, bias_s2_ref,
+                  mask_ref, ow_ref, os_ref, num_heads_w: int,
+                  num_heads_s: int, ws: int, df: int, wpb: int,
+                  c2: int, cseg: int):
+    """Mixed attention with the 6-way qkv projection IN-KERNEL: the
+    window half projects from the (pre-rolled, for shifted blocks)
+    x strip, the stripe half from the unrolled strip — one MXU dot each
+    against lane-tile-aligned packed weight segments."""
+    cin = x_ref.shape[3]
+    aws = ws // df
+    n = ws * ws
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    def proj3(ref, lo):
+        xt = _tiles(ref, ws, wpb, cin).reshape(wpb * n, cin)
+        out = jax.lax.dot_general(
+            xt, wq_ref[:, lo: lo + 3 * cseg], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        out = (out + bq_ref[:, lo: lo + 3 * cseg].astype(f32)).astype(dt)
+        return tuple(out[:, i * cseg: i * cseg + c2].reshape(wpb, n, c2)
+                     for i in range(3))
+
+    qw, kw, vw = proj3(xr_ref, 0)
+    qs, ks, vs = proj3(x_ref, 3 * cseg)
+    an = _tiles(a_ref, aws, wpb, c2)
+    mask = None if mask_ref is None else mask_ref[...].astype(f32)
+    _grl_mixed_core(qw, kw, vw, qs, ks, vs, an,
+                    sw_ref, s1_ref, s2_ref,
+                    bias_w_ref, bias_s1_ref, bias_s2_ref,
+                    mask, ow_ref, os_ref, num_heads_w, num_heads_s, ws, wpb)
+
+
+def _grl_qkv_kernel_nomask(x, a, wq, bq, sw, s1, s2, bw, b1, b2, ow, os_,
+                           **kw):
+    _grl_qkv_body(x, x, a, wq, bq, sw, s1, s2, bw, b1, b2, None, ow, os_,
+                  **kw)
+
+
+def _grl_qkv_kernel_mask(x, xr, a, wq, bq, sw, s1, s2, bw, b1, b2, mask,
+                         ow, os_, **kw):
+    _grl_qkv_body(x, xr, a, wq, bq, sw, s1, s2, bw, b1, b2, mask, ow, os_,
+                  **kw)
 
 
 def _pick_wpb_grl(nww: int, ws: int, aws: int, c: int, itemsize: int) -> int:
@@ -693,6 +757,116 @@ def fused_window_attention_qkv_nhwc(x: jnp.ndarray,
             flops=flops_per * b * nw,
             bytes_accessed=2 * b * hh * ww_ * c * x.dtype.itemsize,
             transcendentals=b * nw * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads_w", "num_heads_s", "window_size", "down_factor", "interpret"))
+def fused_grl_mixed_attention_qkv_nhwc(
+        x: jnp.ndarray, x_rolled: Optional[jnp.ndarray],
+        anchor: jnp.ndarray,
+        wqkv: jnp.ndarray, bqkv: jnp.ndarray,
+        scale_w: jnp.ndarray, scale_s1: jnp.ndarray, scale_s2: jnp.ndarray,
+        bias_w: jnp.ndarray, bias_s1: jnp.ndarray, bias_s2: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        num_heads_w: int, num_heads_s: int, window_size: int,
+        down_factor: int = 2, interpret: bool = False):
+    """GRL mixed attention with the 6-way qkv projection in-kernel.
+
+    x: [B, H, W, C] (post-norm input); x_rolled: the (-s, -s) roll of x
+    for shifted blocks, or None (mask must be None too) — the window
+    half projects from x_rolled, the stripe half from x, so only the
+    C-wide input streams instead of six C/2 q/k/v tensors. wqkv
+    [C, 3C] / bqkv [3C] use _SplitQKV6's layout (qw|kw|vw|qs|ks|vs,
+    each C/2). anchor/scales/biases/mask as in
+    fused_grl_mixed_attention_nhwc. Returns (window_out, stripe_out)."""
+    b, hh, ww_, cin = x.shape
+    c2 = wqkv.shape[1] // 6
+    ws = window_size
+    aws = ws // down_factor
+    n = ws * ws
+    na = aws * aws
+    nwh, nww = hh // ws, ww_ // ws
+    cseg = -(-c2 // 128) * 128
+    wpb = _pick_wpb_grl(nww, ws, aws, cin, x.dtype.itemsize)
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True
+    if (x_rolled is None) != (mask is None):
+        raise ValueError("x_rolled and mask must both be set (shifted) "
+                         "or both be None")
+
+    def seg(i):
+        return jnp.pad(wqkv[:, i * c2: (i + 1) * c2],
+                       [(0, 0), (0, cseg - c2)])
+
+    wq_packed = jnp.concatenate([seg(i) for i in range(6)],
+                                1).astype(x.dtype)            # [C, 6*cseg]
+    bq_packed = jnp.concatenate(
+        [jnp.pad(bqkv[i * c2: (i + 1) * c2], [(0, cseg - c2)])
+         for i in range(6)]).reshape(1, 6 * cseg).astype(x.dtype)
+
+    steps_w = nww // wpb
+    x_spec = pl.BlockSpec((1, ws, ws * wpb, cin),
+                          lambda bi, i, j: (bi, i, j, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ws, ws * wpb, c2),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    anc_spec = pl.BlockSpec((1, aws, aws * wpb, c2),
+                            lambda bi, i, j: (bi, i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(arr):
+        return pl.BlockSpec(arr.shape, lambda bi, i, j: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    scale_w_spec = const(scale_w)
+    scale_s_spec = const(scale_s1)
+    bw_spec = pl.BlockSpec((num_heads_w, n, n), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((num_heads_s, na, n), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    b2_spec = pl.BlockSpec((num_heads_s, n, na), lambda bi, i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    static = dict(num_heads_w=num_heads_w, num_heads_s=num_heads_s, ws=ws,
+                  df=down_factor, wpb=wpb, c2=c2, cseg=cseg)
+    tail_specs = [anc_spec, const(wq_packed), const(bq_packed),
+                  scale_w_spec, scale_s_spec, scale_s_spec,
+                  bw_spec, b1_spec, b2_spec]
+    tail_args = (anchor, wq_packed, bq_packed, scale_w, scale_s1,
+                 scale_s2, bias_w, bias_s1, bias_s2)
+    if mask is None:
+        kernel = functools.partial(_grl_qkv_kernel_nomask, **static)
+        in_specs = [x_spec] + tail_specs
+        args = (x,) + tail_args
+    else:
+        mask_spec = pl.BlockSpec(
+            (wpb, n, n), lambda bi, i, j: (i * steps_w + j, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_grl_qkv_kernel_mask, **static)
+        in_specs = [x_spec, x_spec] + tail_specs + [mask_spec]
+        args = (x, x_rolled) + tail_args + (mask.astype(x.dtype),)
+
+    nw = nwh * nww
+    hdw, hds = c2 // num_heads_w, c2 // num_heads_s
+    flops_per = (num_heads_w * 2 * n * n * hdw * 2
+                 + num_heads_s * 2 * (na * n + n * na) * hds * 2
+                 + 2 * n * cin * 6 * c2)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh, steps_w),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((b, hh, ww_, c2), x.dtype),
+                   jax.ShapeDtypeStruct((b, hh, ww_, c2), x.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per * b * nw,
+            bytes_accessed=4 * b * hh * ww_ * cin * x.dtype.itemsize,
+            transcendentals=b * nw * (num_heads_w * n * n
+                                      + num_heads_s * 2 * na * n),
         ),
         interpret=interpret,
     )(*args)

@@ -26,6 +26,8 @@ echo "=== grl avg_pool reduce-window (default) ==="
 T python scripts/trace_expert.py grl --dtype bf16 --top 0
 echo "=== grl pool2x2=reshape (old) ==="
 FREQFUSION_POOL2X2=reshape T python scripts/trace_expert.py grl --dtype bf16 --top 0
+echo "=== grl qkv in-kernel (FREQFUSION_GRL_QKV=1) ==="
+FREQFUSION_GRL_QKV=1 T python scripts/trace_expert.py grl --dtype bf16 --top 0
 echo "=== fusion net (softmax dtype + conv1x1) ==="
 T python scripts/trace_fusion.py --dtype bf16 --top 0
 echo "=== full pipeline bench ==="
