@@ -109,10 +109,38 @@ def bench_full(h, w, scale):
     return (time.perf_counter() - t0) / iters, "freqfusion_full_x4_throughput"
 
 
+def _relay_alive(timeout_s: int = 120) -> bool:
+    """Probe the axon relay with a trivial jit in a subprocess (the relay
+    has gone down for multi-hour stretches — a dead relay makes every jit
+    hang, so the probe must be killable)."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jax.jit(lambda a: a*2)"
+            "(jnp.ones((64,64))))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     mode = os.environ.get("BENCH_MODE", "full")
     # DIV2K val LR images are ~510x340; bench a 512x336 16-multiple bucket.
     h, w, scale = 336, 512, 4
+    if not _relay_alive():
+        # Emit an explicit, honest failure record instead of hanging the
+        # driver: no throughput was measurable because the TPU relay is
+        # unreachable (observed as a multi-hour outage on 2026-08-17/18).
+        print(json.dumps({
+            "metric": "freqfusion_full_x4_throughput_RELAY_DOWN",
+            "value": 0.0,
+            "unit": "megapixels/sec/chip",
+            "vs_baseline": 0.0,
+        }))
+        return
     if mode == "fusion":
         dt, metric = bench_fusion_only(h, w, scale)
     else:
