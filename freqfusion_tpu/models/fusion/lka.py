@@ -92,11 +92,32 @@ class TokenMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import os
+
         e = x.shape[-1]
         hd = e // self.num_heads
         in_proj_w = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                                (e, 3 * e))
         in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+
+        from ...ops.dispatch import use_pallas
+        from ..drct import RawDense
+        out_proj = RawDense(e, e, name="out_proj")
+        dropout_active = train and self.dropout > 0.0
+        if (use_pallas() and not dropout_active
+                and os.environ.get("FREQFUSION_TOKEN_ATTN") == "1"):
+            # whole per-pixel MHA in one kernel (see
+            # ops/pallas_token_attention.py); eval-mode only — dropout
+            # needs the XLA route's rng
+            from ...ops.pallas_token_attention import fused_token_attention
+            wo, bo = out_proj(raw=True)
+            lead = x.shape[:-2]
+            flat = x.reshape(-1, *x.shape[-2:])
+            out = fused_token_attention(
+                flat, in_proj_w.astype(x.dtype), in_proj_b.astype(x.dtype),
+                wo, bo, num_heads=self.num_heads)
+            return out.reshape(*lead, *x.shape[-2:])
+
         qkv = x @ in_proj_w + in_proj_b
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -120,7 +141,7 @@ class TokenMultiheadAttention(nn.Module):
             weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
         out = out.reshape(*x.shape)
-        return nn.Dense(e, name="out_proj")(out)
+        return out_proj(out)
 
 
 class EnhancedCrossBandWithLKA(nn.Module):

@@ -30,6 +30,8 @@ echo "=== grl qkv in-kernel (FREQFUSION_GRL_QKV=1) ==="
 FREQFUSION_GRL_QKV=1 T python scripts/trace_expert.py grl --dtype bf16 --top 0
 echo "=== fusion net (softmax dtype + conv1x1) ==="
 T python scripts/trace_fusion.py --dtype bf16 --top 0
+echo "=== fusion net + token-attn kernel (FREQFUSION_TOKEN_ATTN=1) ==="
+FREQFUSION_TOKEN_ATTN=1 T python scripts/trace_fusion.py --dtype bf16 --top 0
 echo "=== full pipeline bench ==="
 timeout 1800 python bench.py 2>&1 | tail -5
 echo "=== done $(date) ==="

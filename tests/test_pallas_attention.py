@@ -100,3 +100,24 @@ def test_qkv_in_kernel_matches_split_route(monkeypatch, shifted):
     got = mod.apply(params, x, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("t,e,nh", [(9, 64, 4), (4, 128, 8)])
+def test_token_attention_kernel_matches_einsum(monkeypatch, t, e, nh):
+    """FREQFUSION_TOKEN_ATTN=1 (whole per-pixel MHA in one kernel,
+    pixels-on-lanes slab formulation) == the einsum route, at the
+    TokenMultiheadAttention module level (both fusion-net geometries)."""
+    from freqfusion_tpu.models.fusion.lka import TokenMultiheadAttention
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 6, 10, t, e)).astype(np.float32))
+    mod = TokenMultiheadAttention(nh)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    monkeypatch.delenv("FREQFUSION_TOKEN_ATTN", raising=False)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("FREQFUSION_TOKEN_ATTN", "1")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=2e-5)
