@@ -81,6 +81,13 @@ class _DWConv(nn.Module):
         if self.pad_c:
             kern = jnp.pad(kern, [(0, 0)] * 3 + [(0, self.pad_c)])
             bias = jnp.pad(bias, [(0, self.pad_c)])
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if (self.d_conv == 3 and use_pallas()
+                and os.environ.get("FREQFUSION_DWCONV") == "1"):
+            from ..ops.pallas_dwconv import dwconv3x3_pallas
+            return dwconv3x3_pallas(x, kern.astype(x.dtype), bias)
         pad = (self.d_conv - 1) // 2
         return jax.lax.conv_general_dilated(
             x, kern.astype(x.dtype), (1, 1), [(pad, pad)] * 2,

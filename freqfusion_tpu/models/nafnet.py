@@ -66,10 +66,15 @@ class _DWConv3x3(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mode: str = "shift") -> jnp.ndarray:
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (3, 3, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if mode == "kernel":
+            # halo-DMA Pallas stencil: read-once/write-once in standard
+            # layout (ops/pallas_dwconv.py); FREQFUSION_DWCONV gates it
+            from ..ops.pallas_dwconv import dwconv3x3_pallas
+            return dwconv3x3_pallas(x, k.astype(x.dtype), bias)
         _, h, w, _ = x.shape
         xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (0, 0)])
         kc = k.astype(x.dtype)
@@ -100,12 +105,18 @@ class NAFBlock(nn.Module):
         import os
         shift_dw = os.environ.get("FREQFUSION_NAFNET_DWSHIFT", "0") == "1"
 
+        from ..ops.dispatch import use_pallas
+        dw_kernel = (os.environ.get("FREQFUSION_DWCONV") == "1"
+                     and use_pallas())
+
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(inp)
         # 1x1s as dot_generals join the elementwise-fusion layout world
         # (the conv lowering contributed to the 54 ms layout-copy bucket)
         x = Conv1x1(dw, name="conv1")(x)
         if shift_dw:
             x = _DWConv3x3(dw, name="conv2")(x)
+        elif dw_kernel:
+            x = _DWConv3x3(dw, name="conv2")(x, mode="kernel")
         else:
             x = nn.Conv(dw, (3, 3), padding=((1, 1), (1, 1)),
                         feature_group_count=dw, name="conv2")(x)

@@ -22,6 +22,10 @@ echo "=== nafnet conv1x1-dot (default) ==="
 T python scripts/trace_expert.py nafnet --dtype bf16 --top 0
 echo "=== nafnet conv1x1=conv (old) ==="
 FREQFUSION_CONV1X1=conv T python scripts/trace_expert.py nafnet --dtype bf16 --top 0
+echo "=== nafnet dwconv stencil (FREQFUSION_DWCONV=1) ==="
+FREQFUSION_DWCONV=1 T python scripts/trace_expert.py nafnet --dtype bf16 --top 0
+echo "=== mamba dwconv stencil (FREQFUSION_DWCONV=1) ==="
+FREQFUSION_DWCONV=1 T python scripts/trace_expert.py mamba --dtype bf16 --top 0
 echo "=== grl avg_pool reduce-window (default) ==="
 T python scripts/trace_expert.py grl --dtype bf16 --top 0
 echo "=== grl pool2x2=reshape (old) ==="

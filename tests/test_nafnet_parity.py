@@ -64,3 +64,26 @@ def test_nafnet_dwshift_route_matches_grouped_conv(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(sr_shift), np.asarray(sr_ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_nafnet_dwconv_kernel_route_matches(monkeypatch):
+    """FREQFUSION_DWCONV=1 (halo-DMA Pallas dwconv stencil) == the
+    grouped-conv route, same params."""
+    from freqfusion_tpu.models.nafnet import NAFNetSR
+
+    model = NAFNetSR(width=16, middle_blk_num=1, enc_blk_nums=(1, 1),
+                     dec_blk_nums=(1, 1))
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 24, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    monkeypatch.delenv("FREQFUSION_DWCONV", raising=False)
+    sr_ref, feat_ref = model.apply(params, x)
+    monkeypatch.setenv("FREQFUSION_DWCONV", "1")
+    sr_new, feat_new = model.apply(params, x)
+
+    np.testing.assert_allclose(np.asarray(sr_new), np.asarray(sr_ref),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(feat_new), np.asarray(feat_ref),
+                               atol=2e-5, rtol=1e-5)
