@@ -3,7 +3,7 @@
 # Each line is one fresh-process in-model measurement; results append to
 # $LOG. Expected ~40-60 min total (relay compiles dominate).
 set -x
-LOG=${LOG:-/tmp/measure_r3b.log}
+LOG=${LOG:-/root/repo/MEASURE_r3b.log}
 T() { timeout 900 "$@" 2>&1 | grep -E "s/img|ms  |params" | head -20; }
 {
 echo "=== $(date) mamba v7 (default) ==="
