@@ -196,9 +196,13 @@ class FreqFusionPipeline:
                     f = f[:, :h, :w, :]
                 feats[name] = f
             else:
-                imgs[name] = resize_bilinear(lr, h * s, w * s)
+                # Missing-expert fallback must match the present experts'
+                # fusion dtype (bf16 fusion would otherwise see mixed
+                # dtypes — ADVICE r3).
+                fdt = self.fusion_dtype or jnp.float32
+                imgs[name] = resize_bilinear(lr, h * s, w * s).astype(fdt)
                 feats[name] = jnp.zeros(
-                    (b, h, w, self.FEATURE_CHANNELS[name]), lr.dtype)
+                    (b, h, w, self.FEATURE_CHANNELS[name]), fdt)
 
         if self.fusion_dtype is not None:
             lr = lr.astype(self.fusion_dtype)

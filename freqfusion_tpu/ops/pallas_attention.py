@@ -515,6 +515,29 @@ def _pick_wpb_grl(nww: int, ws: int, aws: int, c: int, itemsize: int) -> int:
     return 1
 
 
+def _pick_wpb_grl_qkv(nww: int, ws: int, aws: int, cin: int, c2: int,
+                      cseg: int, itemsize: int, shifted: bool) -> int:
+    """VMEM bound for the qkv-in-kernel GRL route (ADVICE r3): x
+    (+x_rolled when shifted) and the two C/2 outputs double-buffered,
+    the fp32 [wpb*N, 3*cseg] projection intermediates for BOTH halves
+    plus their io-dtype q/k/v values, and the fp32 attention scratch
+    ([N,N] window + [Na,N]/[N,Na] stripe) — none of which _pick_wpb_grl
+    counts."""
+    budget = 8 * 1024 * 1024
+    n, na = ws * ws, aws * aws
+    x_blocks = (2 if shifted else 1) * n * cin
+    data = (x_blocks + na * c2 + 2 * n * c2) * itemsize * 2   # dbuf
+    proj = n * 6 * cseg * 4 + n * 6 * c2 * itemsize  # fp32 dots + dt cast
+    attn = (n * n + na * n + n * na) * 4
+    per_window = data + proj + attn
+    fixed = (cin + 1) * 6 * cseg * itemsize          # packed weights+bias
+    cap = max(1, (budget - fixed) // per_window)
+    for wpb in (32, 16, 8, 4, 2, 1):
+        if wpb <= cap and nww % wpb == 0:
+            return wpb
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_heads_w", "num_heads_s", "window_size", "down_factor", "interpret"))
 def fused_grl_mixed_attention_nhwc(
@@ -790,7 +813,8 @@ def fused_grl_mixed_attention_qkv_nhwc(
     na = aws * aws
     nwh, nww = hh // ws, ww_ // ws
     cseg = -(-c2 // 128) * 128
-    wpb = _pick_wpb_grl(nww, ws, aws, cin, x.dtype.itemsize)
+    wpb = _pick_wpb_grl_qkv(nww, ws, aws, cin, c2, cseg,
+                            x.dtype.itemsize, shifted=mask is not None)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     if (x_rolled is None) != (mask is None):

@@ -815,9 +815,18 @@ def selective_scan_pallas_chain(u: jnp.ndarray,
     dskip = D.astype(jnp.float32).reshape(1, d)
     bias = delta_bias.astype(jnp.float32).reshape(1, d)
 
+    # With reverse=True the kernels reverse steps WITHIN each time chunk;
+    # the grid must then visit chunks back-to-front too, or the scratch
+    # state carry crosses chunk boundaries in the wrong direction
+    # (wrong output whenever t > wc, i.e. t > 160 — ADVICE r3, high).
+    nwc = t // wc
+    if reverse:
+        tmap = lambda bi, j, wi: (bi, nwc - 1 - wi, j, 0)
+    else:
+        tmap = lambda bi, j, wi: (bi, wi, j, 0)
+
     def blk(feat):
-        return pl.BlockSpec((1, wc, 8, feat),
-                            lambda bi, j, wi: (bi, wi, j, 0),
+        return pl.BlockSpec((1, wc, 8, feat), tmap,
                             memory_space=pltpu.VMEM)
 
     def const(arr):
@@ -1078,9 +1087,16 @@ def selective_scan_pallas_chain_proj(xc: jnp.ndarray,
                   [(0, 0), (0, 128 - n)])                # [Dp, 128]
     wf = jnp.concatenate([wdt_full, wb, wcw], axis=1).astype(xc.dtype)
 
+    # Reverse chunk-grid order when reverse=True — same multi-chunk carry
+    # fix as selective_scan_pallas_chain (ADVICE r3, high).
+    nwc = t // wc
+    if reverse:
+        tmap = lambda bi, j, wi: (bi, nwc - 1 - wi, j, 0)
+    else:
+        tmap = lambda bi, j, wi: (bi, wi, j, 0)
+
     def blk(feat):
-        return pl.BlockSpec((1, wc, 8, feat),
-                            lambda bi, j, wi: (bi, wi, j, 0),
+        return pl.BlockSpec((1, wc, 8, feat), tmap,
                             memory_space=pltpu.VMEM)
 
     def const(arr):

@@ -1,0 +1,115 @@
+"""Local (relay-free) TPU AOT compile checks for the Pallas kernels.
+
+libtpu can lower Mosaic kernels against a deviceless v5e topology (see
+CLAUDE.md "Local AOT compile without the relay"), so kernel compile
+health is checkable even during relay outages. Execution is impossible —
+this validates compile + VMEM budgets only.
+
+Usage: run with the env set BEFORE jax import (the script re-execs
+itself with the right env if needed):
+
+    python scripts/aot_check.py [scan_rev] [grl_qkv] [all]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ENV = {
+    "PALLAS_AXON_POOL_IPS": "",
+    "JAX_PLATFORMS": "cpu",
+    "TPU_ACCELERATOR_TYPE": "v5litepod-4",
+    "TPU_WORKER_HOSTNAMES": "localhost",
+}
+
+if any(os.environ.get(k) != v for k, v in _ENV.items()):
+    env = dict(os.environ, **_ENV)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import topologies  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+def _tpu_sharding():
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x2")
+    import numpy as np
+    mesh = Mesh(np.asarray(topo.devices).reshape(-1), ("d",))
+    return NamedSharding(mesh, P())
+
+
+def _aot(fn, *shapes_dtypes, **static):
+    sh = _tpu_sharding()
+    args = [jax.ShapeDtypeStruct(s, d, sharding=sh) for s, d in shapes_dtypes]
+    import functools
+    f = functools.partial(fn, **static) if static else fn
+    jax.jit(f).lower(*args).compile()
+
+
+def check_scan_rev():
+    """v5 + v6 chain scans, reverse=True, MULTI-chunk full geometry
+    (T=512 -> wc=128, 4 chunks at Dp=384, N=16 fp32) — the exact route
+    the reverse-carry fix (ADVICE r3 high) changed."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan_pallas_chain, selective_scan_pallas_chain_proj)
+    b, t, r, d, n, dtr = 1, 512, 8, 384, 16, 12
+    for rev in (False, True):
+        _aot(selective_scan_pallas_chain,
+             ((b, t, r, d), jnp.float32), ((b, t, r, d), jnp.float32),
+             ((d, n), jnp.float32), ((b, t, r, n), jnp.float32),
+             ((b, t, r, n), jnp.float32), ((d,), jnp.float32),
+             ((d,), jnp.float32), reverse=rev)
+        print(f"scan v5 reverse={rev}: compile OK")
+        _aot(selective_scan_pallas_chain_proj,
+             ((b, t, r, d), jnp.float32),
+             ((dtr + 2 * n, d), jnp.float32), ((d, dtr), jnp.float32),
+             ((d, n), jnp.float32), ((d,), jnp.float32),
+             ((d,), jnp.float32), reverse=rev)
+        print(f"scan v6 reverse={rev}: compile OK")
+
+
+def check_grl_qkv():
+    """GRL-B full-geometry qkv-in-kernel route with the corrected VMEM
+    picker (_pick_wpb_grl_qkv), shifted (x_rolled+mask) and plain."""
+    from freqfusion_tpu.ops.pallas_attention import (
+        fused_grl_mixed_attention_qkv_nhwc)
+    b, hh, ww, c = 1, 256, 256, 180
+    nhw = nhs = 6
+    ws, df = 16, 2
+    c2 = c // 2
+    n, na = ws * ws, (ws // df) ** 2
+    nw = (hh // ws) * (ww // ws)
+    dt = jnp.bfloat16
+    common = [((b, hh, ww, c), dt)]
+    anchor = ((b, hh // df, ww // df, c2), dt)
+    wq = ((c, 6 * c2), dt)
+    bq = ((6 * c2,), dt)
+    scales = [((nhw, 1, 1), jnp.float32)] * 3
+    biases = [((nhw, n, n), jnp.float32), ((nhs, na, n), jnp.float32),
+              ((nhs, n, na), jnp.float32)]
+    _aot(fused_grl_mixed_attention_qkv_nhwc,
+         *common, common[0], anchor, wq, bq, *scales, *biases,
+         ((nw, n, n), jnp.float32),
+         num_heads_w=nhw, num_heads_s=nhs, window_size=ws, down_factor=df)
+    print("grl qkv shifted: compile OK")
+
+    def plain(x, a, w, bb, s1, s2, s3, b1, b2, b3):
+        return fused_grl_mixed_attention_qkv_nhwc(
+            x, None, a, w, bb, s1, s2, s3, b1, b2, b3, None,
+            num_heads_w=nhw, num_heads_s=nhs, window_size=ws,
+            down_factor=df)
+    _aot(plain, *common, anchor, wq, bq, *scales, *biases)
+    print("grl qkv plain: compile OK")
+
+
+CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["all"]
+    if "all" in names:
+        names = list(CHECKS)
+    for nm in names:
+        CHECKS[nm]()
+    print("ALL AOT CHECKS PASSED")

@@ -183,6 +183,65 @@ def test_selective_scan_pallas_chain_matches_flat(t, r, reverse):
     np.testing.assert_allclose(np.asarray(got), ref, atol=3e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_selective_scan_pallas_chain_multichunk(reverse):
+    """Multi-time-chunk regression (ADVICE r3, high): at t=162 the chain
+    kernels split time into 2 chunks of wc=81; with reverse=True the
+    chunk grid must ALSO run back-to-front or the scratch state carry
+    crosses the chunk boundary in the wrong direction. Pins both v5 and
+    the v6 in-kernel-projection route against the XLA flat scan."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_chain,
+        selective_scan_pallas_chain_proj, _chain_chunk)
+
+    t, r, b, d, n, dtr = 162, 8, 1, 128, 2, 8
+    assert t // _chain_chunk(t) > 1  # the regression needs >= 2 chunks
+    rng = np.random.default_rng(41)
+    u = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    dt = (rng.normal(size=(b, t, r, d)) * 0.3).astype(np.float32)
+    A = -np.exp(rng.uniform(0, 2.7, (d, n))).astype(np.float32)
+    B = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    C = rng.normal(size=(b, t, r, n)).astype(np.float32)
+    D = rng.normal(size=(d,)).astype(np.float32)
+    bias = (rng.normal(size=(d,)) * 0.1).astype(np.float32)
+
+    def to_seq(x):
+        return jnp.asarray(x).transpose(0, 2, 1, 3).reshape(
+            b, r * t, x.shape[-1])
+
+    sl = slice(None, None, -1) if reverse else slice(None)
+    ref = selective_scan(to_seq(u)[:, sl], to_seq(dt)[:, sl], jnp.asarray(A),
+                         to_seq(B)[:, sl], to_seq(C)[:, sl], jnp.asarray(D),
+                         delta_bias=jnp.asarray(bias), chunk=27)[:, sl]
+    ref = np.asarray(ref).reshape(b, r, t, d).transpose(0, 2, 1, 3)
+
+    got = selective_scan_pallas_chain(
+        jnp.asarray(u), jnp.asarray(dt), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(C), jnp.asarray(D), jnp.asarray(bias), reverse=reverse,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5, rtol=2e-5)
+
+    # v6 route: build an xc whose in-kernel silu+projection reproduces the
+    # same u/dt/B/C is impossible in general, so pin v6 directly against
+    # the XLA reference computed from ITS xc-derived operands.
+    xc = rng.normal(size=(b, t, r, d)).astype(np.float32)
+    xpw = (rng.normal(size=(dtr + 2 * n, d)) * 0.2).astype(np.float32)
+    dtw = (rng.normal(size=(d, dtr)) * 0.2).astype(np.float32)
+    uu = jax.nn.silu(jnp.asarray(xc))
+    dbl = jnp.einsum("btrd,kd->btrk", uu, jnp.asarray(xpw))
+    dt6 = jnp.einsum("btrk,dk->btrd", dbl[..., :dtr], jnp.asarray(dtw))
+    b6, c6 = dbl[..., dtr:dtr + n], dbl[..., dtr + n:]
+    ref6 = selective_scan(to_seq(uu)[:, sl], to_seq(dt6)[:, sl],
+                          jnp.asarray(A), to_seq(b6)[:, sl],
+                          to_seq(c6)[:, sl], jnp.asarray(D),
+                          delta_bias=jnp.asarray(bias), chunk=27)[:, sl]
+    ref6 = np.asarray(ref6).reshape(b, r, t, d).transpose(0, 2, 1, 3)
+    got6 = selective_scan_pallas_chain_proj(
+        jnp.asarray(xc), jnp.asarray(xpw), jnp.asarray(dtw), jnp.asarray(A),
+        jnp.asarray(D), jnp.asarray(bias), reverse=reverse, interpret=True)
+    np.testing.assert_allclose(np.asarray(got6), ref6, atol=5e-5, rtol=2e-5)
+
+
 def test_selective_scan_pallas_chain_padded_tail_is_zero():
     """Zero-padded channels (A=D=bias=0) must contribute exactly zero and
     leave the real channels untouched (the 360->384 lane-alignment pad)."""
