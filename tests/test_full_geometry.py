@@ -35,14 +35,42 @@ pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
 
 
-def _forward_crop(name, params, x):
+def _forward_crop(name, params, x, dtype=None):
     """One crop through the full-geometry scan-stacked model."""
     models = build_expert_models(4, use_scan=True)
     stacked = restack_params_for_scan({name: params})[name]
-    sr, feat = jax.jit(models[name].apply)(stacked, jnp.asarray(x))
-    assert np.isfinite(np.asarray(sr)).all()
-    assert np.isfinite(np.asarray(feat)).all()
-    return np.asarray(sr), np.asarray(feat)
+    xj = jnp.asarray(x)
+    if dtype is not None:
+        stacked = jax.tree_util.tree_map(
+            lambda p: p.astype(dtype) if jnp.issubdtype(
+                p.dtype, jnp.floating) else p, stacked)
+        xj = xj.astype(dtype)
+    sr, feat = jax.jit(models[name].apply)(stacked, xj)
+    sr = np.asarray(sr, np.float32)
+    feat = np.asarray(feat, np.float32)
+    assert np.isfinite(sr).all()
+    assert np.isfinite(feat).all()
+    return sr, feat
+
+
+def _assert_bf16_budget(name, params, x, sr32, min_self_psnr=48.0):
+    """bf16 error accumulation at REAL depth (VERDICT r3 weak #6): the
+    pipeline's expert_dtype=bf16 mode (params + input cast, exactly as
+    FreqFusionPipeline applies it) vs the fp32 output of the SAME
+    converted full-geometry weights. The 0.05 dB end-to-end budget
+    (BASELINE.md) at a ~35 dB operating point needs the added noise to
+    stay ~19 dB below the signal error, i.e. self-PSNR >= ~54 dB if one
+    expert alone carried the output; the fusion net averages 4 experts
+    (noise power /~4 when uncorrelated, ~+6 dB) and its own conv stack
+    further low-passes, so >= ~48 dB per expert is budget-consistent.
+    The floor here also guards regressions in each family's bf16 route."""
+    sr16, _ = _forward_crop(name, params, x, dtype=jnp.bfloat16)
+    mse = float(np.mean((sr16 - sr32) ** 2))
+    psnr = 10 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    print(f"{name}: bf16-vs-fp32 full-geometry self-PSNR {psnr:.1f} dB "
+          f"(floor {min_self_psnr})")
+    assert psnr > min_self_psnr, (
+        f"{name}: bf16 self-PSNR {psnr:.1f} dB < {min_self_psnr}")
 
 
 def _assert_full_parity(sr, out, label, atol=2e-3, min_psnr=50.0):
@@ -95,6 +123,7 @@ def test_drct_l_full_geometry():
     with torch.no_grad():
         out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "drct")
+    _assert_bf16_budget("drct", params, x, sr)
 
 
 def test_grl_b_full_geometry():
@@ -130,6 +159,7 @@ def test_grl_b_full_geometry():
     with torch.no_grad():
         out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "grl")
+    _assert_bf16_budget("grl", params, x, sr)
 
 
 def test_nafnet_full_geometry():
@@ -158,6 +188,7 @@ def test_nafnet_full_geometry():
             xt, scale_factor=4, mode="bicubic", align_corners=False)
         out = tm(x_up).clamp(0, 1).numpy().transpose(0, 2, 3, 1)
     _assert_full_parity(sr, out, "nafnet")
+    _assert_bf16_budget("nafnet", params, x, sr)
 
 
 def test_mambair_full_geometry():
@@ -191,3 +222,4 @@ def test_mambair_full_geometry():
     with torch.no_grad():
         out = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     _assert_full_parity(sr, out.numpy().transpose(0, 2, 3, 1), "mamba")
+    _assert_bf16_budget("mamba", params, x, sr)
