@@ -35,5 +35,11 @@ echo "=== batch=2 one-program pipeline ==="
 BENCH_BATCH=2 B
 echo "=== batch=4 one-program pipeline ==="
 BENCH_BATCH=4 B
+
+# Phase C: roofline trace refresh + hardware training receipt
+echo "=== full-pipeline trace (roofline stage walls) ==="
+timeout 1800 python /root/repo/scripts/trace_pipeline.py 2>&1 | tail -40
+echo "=== hardware training receipt (300 cached steps) ==="
+timeout 1800 python /root/repo/scripts/train_receipt.py 2>&1 | tail -12
 echo "=== done $(date) ==="
 } >> "$LOG" 2>&1
