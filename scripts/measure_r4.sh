@@ -41,5 +41,8 @@ echo "=== full-pipeline trace (roofline stage walls) ==="
 timeout 1800 python /root/repo/scripts/trace_pipeline.py 2>&1 | tail -40
 echo "=== hardware training receipt (300 cached steps) ==="
 timeout 1800 python /root/repo/scripts/train_receipt.py 2>&1 | tail -12
+echo "=== approx-scan sensitivity at CONVERTED weights (VERDICT item 7) ==="
+timeout 1800 python /root/repo/scripts/measure_scan_approx.py --converted \
+  2>&1 | tail -8
 echo "=== done $(date) ==="
 } >> "$LOG" 2>&1

@@ -8,6 +8,17 @@ HBM 819 GB/s; the VPU line uses the measured-saturation receipt
 (4.45 T-op/s sustained on the scan, BENCH_NOTES r3) rather than a
 theoretical number.
 
+Route note: this process compiles the XLA reference route (CPU backend →
+use_pallas() False; verified), NOT the shipped Pallas route. That is
+deliberate: XLA cannot cost custom calls, so the XLA route is the only
+compile whose "flops" equals the model's full SEMANTIC arithmetic
+(calibrated exact on known dots). "bytes accessed" is therefore the
+XLA-route traffic — an upper bound for the shipped program, since the
+Pallas kernels exist precisely to keep logits/projections in VMEM. A
+stage showing >100% HBM (fusion) means its measured wall cannot be
+sustained at XLA-route byte counts — i.e. the shipped program already
+moves fewer bytes than this column.
+
 Usage:
     python scripts/roofline.py [--times times.json] [--hw 336 --ww 512]
 """
