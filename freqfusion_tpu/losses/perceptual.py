@@ -57,16 +57,38 @@ def host_autograd_loss(torch_scalar_loss: Callable,
                 t.requires_grad_(True)
             args.append(t)
         loss = torch_scalar_loss(*args)
-        loss.backward()
-        gp = p.grad.detach().numpy().astype(np.float32)
-        gt = (t.grad.detach().numpy().astype(np.float32)
-              if grad_target else None)
+        if loss.requires_grad:
+            loss.backward()
+        gp = (p.grad.detach().numpy().astype(np.float32)
+              if p.grad is not None
+              else np.zeros(p.shape, np.float32))
+        if grad_target:
+            gt = (t.grad.detach().numpy().astype(np.float32)
+                  if t.grad is not None
+                  else np.zeros(t.shape, np.float32))
+        else:
+            gt = None
         out = [np.float32(loss.detach().item()), gp]
         if gt is not None:
             out.append(gt)
         return tuple(out)
 
+    def _host_val(pred_np, target_np):
+        # Primal-only path (ADVICE r4): no autograd graph, no backward —
+        # eval/validation calls pay one forward, not forward+backward.
+        with torch.no_grad():
+            args = [torch.from_numpy(np.asarray(pred_np).copy())]
+            if target_np is not None:
+                args.append(torch.from_numpy(np.asarray(target_np).copy()))
+            return np.float32(torch_scalar_loss(*args).detach().item())
+
+    def _check(target):
+        if grad_target and target is None:
+            raise ValueError(
+                "host_autograd_loss(grad_target=True) requires a target")
+
     def _call(pred, target):
+        _check(target)
         shapes = [jax.ShapeDtypeStruct((), jnp.float32),
                   jax.ShapeDtypeStruct(pred.shape, jnp.float32)]
         if grad_target:
@@ -79,7 +101,11 @@ def host_autograd_loss(torch_scalar_loss: Callable,
 
     @jax.custom_vjp
     def loss(pred, target):
-        return _call(pred, target)[0]
+        _check(target)
+        return jax.pure_callback(
+            _host_val, jax.ShapeDtypeStruct((), jnp.float32),
+            pred.astype(jnp.float32),
+            None if target is None else target.astype(jnp.float32))
 
     def fwd(pred, target):
         val, gp, gt = _call(pred, target)
@@ -136,8 +162,10 @@ def vgg_loss_fn(layers=(8, 17, 26),
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 
     def torch_loss(pred_t, target_t):
-        p = pred_t.permute(0, 3, 1, 2)
-        t = target_t.permute(0, 3, 1, 2)
+        # Reference clamps both inputs to [0,1] before feature extraction
+        # (perceptual_loss.py:467-469) — matters for out-of-range preds.
+        p = pred_t.clamp(0, 1).permute(0, 3, 1, 2)
+        t = target_t.clamp(0, 1).permute(0, 3, 1, 2)
         p = (p - mean) / std
         t = (t - mean) / std
         loss = 0.0
@@ -181,7 +209,8 @@ def clip_threshold_loss(pos_sim, neg_sim, threshold: float = 0.5):
     return jnp.maximum(threshold - quality + 0.1, 0.0).mean()
 
 
-def clip_loss_fn(threshold: float = 0.5) -> Optional[Callable]:
+def clip_loss_fn(threshold: float = 0.5,
+                 detach_encode: bool = False) -> Optional[Callable]:
     """CLIP pos/neg prompt similarity threshold loss
     (perceptual_loss.py:856-989). None when CLIP is unavailable.
 
@@ -190,7 +219,15 @@ def clip_loss_fn(threshold: float = 0.5) -> Optional[Callable]:
     constants), then per call resize pred to 224, CLIP-normalize, encode,
     and apply the threshold penalty — the whole chain on the host under
     torch autograd via :func:`host_autograd_loss`, so the loss is
-    differentiable w.r.t. pred."""
+    differentiable w.r.t. pred.
+
+    DELIBERATE PARITY DIVERGENCE (ADVICE r4 / PARITY.md): the reference
+    wraps ``encode_image`` in ``torch.no_grad()`` (perceptual_loss.py:
+    968-971), so its CLIP loss contributes ZERO gradient to pred even at
+    weight>0 — almost certainly a bug, and harmless in the shipped recipe
+    (weight 0 everywhere). Default here backprops through the encoder so
+    a weight>0 stage actually trains; pass ``detach_encode=True`` to
+    reproduce the reference's detached (zero-gradient) behavior exactly."""
     try:
         import clip
         import torch
@@ -215,7 +252,11 @@ def clip_loss_fn(threshold: float = 0.5) -> Optional[Callable]:
             align_corners=False).clamp(0, 1)
         p = (p - torch.from_numpy(_CLIP_MEAN).view(1, 3, 1, 1)) \
             / torch.from_numpy(_CLIP_STD).view(1, 3, 1, 1)
-        feat = model.encode_image(p).float()
+        if detach_encode:
+            with torch.no_grad():  # reference perceptual_loss.py:968-971
+                feat = model.encode_image(p).float()
+        else:
+            feat = model.encode_image(p).float()
         feat = feat / feat.norm(dim=-1, keepdim=True)
         pos_sim = (feat @ pos.T).mean(dim=1)
         neg_sim = (feat @ neg.T).mean(dim=1)

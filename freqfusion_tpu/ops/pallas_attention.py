@@ -516,21 +516,26 @@ def _pick_wpb_grl(nww: int, ws: int, aws: int, c: int, itemsize: int) -> int:
 
 
 def _pick_wpb_grl_qkv(nww: int, ws: int, aws: int, cin: int, c2: int,
-                      cseg: int, itemsize: int, shifted: bool) -> int:
+                      cseg: int, itemsize: int, shifted: bool,
+                      num_heads_w: int, num_heads_s: int) -> int:
     """VMEM bound for the qkv-in-kernel GRL route (ADVICE r3): x
     (+x_rolled when shifted) and the two C/2 outputs double-buffered,
     the fp32 [wpb*N, 3*cseg] projection intermediates for BOTH halves
     plus their io-dtype q/k/v values, and the fp32 attention scratch
     ([N,N] window + [Na,N]/[N,Na] stripe) — none of which _pick_wpb_grl
-    counts."""
+    counts. ADVICE r4: also count the shifted-mode [wpb,N,N] mask block
+    (double-buffered like the data) and the resident fp32 attention-bias
+    tables bias_w [nHw,N,N] / bias_s1 [nHs,Na,N] / bias_s2 [nHs,N,Na]."""
     budget = 8 * 1024 * 1024
     n, na = ws * ws, aws * aws
     x_blocks = (2 if shifted else 1) * n * cin
-    data = (x_blocks + na * c2 + 2 * n * c2) * itemsize * 2   # dbuf
+    mask_blk = n * n if shifted else 0               # io-dtype mask block
+    data = (x_blocks + mask_blk + na * c2 + 2 * n * c2) * itemsize * 2
     proj = n * 6 * cseg * 4 + n * 6 * c2 * itemsize  # fp32 dots + dt cast
     attn = (n * n + na * n + n * na) * 4
     per_window = data + proj + attn
-    fixed = (cin + 1) * 6 * cseg * itemsize          # packed weights+bias
+    fixed = ((cin + 1) * 6 * cseg * itemsize         # packed weights+bias
+             + (num_heads_w * n * n + num_heads_s * 2 * na * n) * 4)
     cap = max(1, (budget - fixed) // per_window)
     for wpb in (32, 16, 8, 4, 2, 1):
         if wpb <= cap and nww % wpb == 0:
@@ -814,7 +819,9 @@ def fused_grl_mixed_attention_qkv_nhwc(
     nwh, nww = hh // ws, ww_ // ws
     cseg = -(-c2 // 128) * 128
     wpb = _pick_wpb_grl_qkv(nww, ws, aws, cin, c2, cseg,
-                            x.dtype.itemsize, shifted=mask is not None)
+                            x.dtype.itemsize, shifted=mask is not None,
+                            num_heads_w=num_heads_w,
+                            num_heads_s=num_heads_s)
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     if (x_rolled is None) != (mask is None):

@@ -45,6 +45,12 @@ def test_clip_loss_with_injected_backbone(monkeypatch):
         def eval(self):
             return self
 
+        def parameters(self):
+            # real CLIP is an nn.Module; the builder freezes its params
+            # (perceptual.py clip_loss_fn) — the fake must expose the
+            # same interface (r4 regression: this was missing)
+            return iter(())
+
         def encode_text(self, tokens):
             torch.manual_seed(0)
             return torch.randn(tokens.shape[0], self.dim)
@@ -70,3 +76,16 @@ def test_clip_loss_with_injected_backbone(monkeypatch):
     assert np.isfinite(float(loss))
     # deterministic
     assert float(fn(pred)) == float(loss)
+
+    # default backprops through encode_image (deliberate divergence from
+    # the reference's no_grad encode, perceptual_loss.py:968-971) —
+    # gradient must be finite; encode here depends on pred via mean-pool
+    g = jax.grad(lambda p: fn(p))(pred)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # detach_encode=True reproduces the reference exactly: zero gradient
+    fn_ref = clip_loss_fn(threshold=0.5, detach_encode=True)
+    g0 = jax.grad(lambda p: fn_ref(p))(pred)
+    assert float(jnp.abs(g0).max()) == 0.0
+    # and the primal value is identical either way
+    np.testing.assert_allclose(float(fn_ref(pred)), float(loss), rtol=1e-6)

@@ -106,6 +106,38 @@ def test_host_autograd_loss_grad_target_mode():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_host_autograd_loss_primal_skips_backward_and_guards_target():
+    """ADVICE r4: the un-differentiated primal must not pay torch
+    backward(); grad_target=True with target=None must raise cleanly."""
+    calls = {"fwd": 0, "bwd": 0}
+
+    class _Probe(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, x):
+            calls["fwd"] += 1
+            ctx.n = x.numel()
+            return x.mean()
+
+        @staticmethod
+        def backward(ctx, g):
+            calls["bwd"] += 1
+            return g.expand(ctx.n) / ctx.n
+
+    def tl(pred_t):
+        return _Probe.apply(pred_t.reshape(-1))
+
+    jl = host_autograd_loss(tl)
+    x = jnp.ones((1, 4, 4, 3), jnp.float32)
+    float(jl(x, None))           # primal only
+    assert calls == {"fwd": 1, "bwd": 0}
+    jax.grad(lambda p: jl(p, None))(x)  # differentiated: fwd+bwd host call
+    assert calls["bwd"] == 1
+
+    jl_t = host_autograd_loss(_mini_torch_loss(), grad_target=True)
+    with pytest.raises(ValueError, match="requires a target"):
+        jl_t(x, None)
+
+
 def test_backbone_gated_factories_degrade_to_none():
     """Without downloadable weights the factories return None (the
     reference's import-guard pattern, perceptual_loss.py:39-59) — and the
