@@ -376,6 +376,62 @@ def test_selective_scan_pallas_chain_proj_matches_v5(reverse, approx):
 
 @pytest.mark.parametrize("reverse", [False, True])
 @pytest.mark.parametrize("approx", [False, True])
+def test_selective_scan_pallas_chain_fused_midsize_T_matches_flat(
+        reverse, approx):
+    """v7 at production-like chunking (VERDICT r4 weak #3): T=384 splits
+    into 3 chunks of wc=128 — same wc as the production T=512 regime —
+    with multi-group R=16 (cross-group carry) pinned directly against
+    the XLA flat scan, both directions, both init routes. The r3 reverse
+    bug was a chunk-grid-order error invisible at the toy T<=32 shapes;
+    this is the shape class that would have caught it for v7's strip-DMA
+    + zero-init/homogeneous-correction compose."""
+    from freqfusion_tpu.ops.selective_scan import (
+        selective_scan, selective_scan_pallas_chain_fused, _chain_chunk)
+
+    b, t, r, d, n, dtr = 1, 384, 16, 128, 4, 8
+    assert t // _chain_chunk(t) >= 3       # genuinely multi-chunk
+    rng = np.random.default_rng(23)
+    xc = jnp.asarray(rng.normal(size=(b, t, r, d)).astype(np.float32))
+    xpw = jnp.asarray((rng.normal(size=(dtr + 2 * n, d)) * 0.1
+                       ).astype(np.float32))
+    dtw = jnp.asarray((rng.normal(size=(d, dtr)) * 0.1).astype(np.float32))
+    A = -jnp.exp(jnp.asarray(
+        (rng.normal(size=(d, n)) * 0.3).astype(np.float32)))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray((rng.normal(size=(d,)) * 0.1).astype(np.float32))
+
+    # ground truth from xc-derived operands through the XLA scan
+    u = jax.nn.silu(xc)
+    dt_low = jnp.einsum("btrd,cd->btrc", u, xpw[:dtr],
+                        preferred_element_type=jnp.float32)
+    dt = jnp.einsum("btrc,dc->btrd", dt_low, dtw,
+                    preferred_element_type=jnp.float32).astype(u.dtype)
+    B = jnp.einsum("btrd,cd->btrc", u, xpw[dtr: dtr + n],
+                   preferred_element_type=jnp.float32).astype(u.dtype)
+    C = jnp.einsum("btrd,cd->btrc", u, xpw[dtr + n:],
+                   preferred_element_type=jnp.float32).astype(u.dtype)
+
+    sl = slice(None, None, -1) if reverse else slice(None)
+    if approx:
+        # each chain independently zero-init: [B,T,R,F] -> [B*R, T, F]
+        def seq(x):
+            return x.transpose(0, 2, 1, 3).reshape(b * r, t, x.shape[-1])
+    else:
+        # one coupled chain-order sequence: [B,T,R,F] -> [B, R*T, F]
+        def seq(x):
+            return x.transpose(0, 2, 1, 3).reshape(b, r * t, x.shape[-1])
+    ref = selective_scan(seq(u)[:, sl], seq(dt)[:, sl], A, seq(B)[:, sl],
+                         seq(C)[:, sl], D, delta_bias=bias, chunk=128)[:, sl]
+    ref = np.asarray(ref).reshape(b, r, t, d).transpose(0, 2, 1, 3)
+
+    got = selective_scan_pallas_chain_fused(
+        xc, xpw, dtw, A, D, bias, reverse=reverse, interpret=True,
+        approx_init=approx)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=7e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+@pytest.mark.parametrize("approx", [False, True])
 def test_selective_scan_pallas_chain_fused_matches_proj(reverse, approx):
     """v7 (single dispatch: strips resident via manual DMA, zero-init
     sweep + homogeneous correction sweep) == v6 for both exact and
