@@ -86,6 +86,49 @@ class _DWConv3x3(nn.Module):
         return y + bias.astype(x.dtype)
 
 
+class _LNParams(nn.Module):
+    """Param-only stand-in with nn.LayerNorm's exact tree (scale, bias)
+    so the fused-block path declares an identical checkpoint structure."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return {"scale": self.param("scale", nn.initializers.ones,
+                                    (self.c,)),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.c,))}
+
+
+class _ConvParams(nn.Module):
+    """Param-only stand-in with Conv1x1/nn.Conv's exact tree."""
+
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel",
+                                     nn.initializers.lecun_normal(),
+                                     (1, 1, self.cin, self.cout)),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.cout,))}
+
+
+class _DWParams(nn.Module):
+    """Param-only stand-in with the depthwise conv's exact tree."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel",
+                                     nn.initializers.lecun_normal(),
+                                     (3, 3, 1, self.c)),
+                "bias": self.param("bias", nn.initializers.zeros,
+                                   (self.c,))}
+
+
 class NAFBlock(nn.Module):
     """LayerNorm -> 1x1 -> 3x3 DW -> SimpleGate -> SCA -> 1x1, plus gated FFN;
     learnable beta/gamma residual scales (nafnet_arch.py:58-131)."""
@@ -98,6 +141,29 @@ class NAFBlock(nn.Module):
     def __call__(self, inp: jnp.ndarray) -> jnp.ndarray:
         c = self.c
         dw = c * self.dw_expand
+
+        import os as _os
+        from ..ops.dispatch import use_pallas as _use_pallas
+        if (_os.environ.get("FREQFUSION_NAFBLOCK") == "1" and _use_pallas()
+                and self.dw_expand == 2 and self.ffn_expand == 2):
+            # whole-block fused kernel (ops/pallas_nafblock.py): reads x
+            # once per pass instead of ~8-10 HBM round trips per block.
+            # Identical param tree via the param-only stand-ins above.
+            from ..ops.pallas_nafblock import nafblock_fused
+            w = {
+                "norm1": _LNParams(c, name="norm1")(),
+                "conv1": _ConvParams(c, dw, name="conv1")(),
+                "conv2": _DWParams(dw, name="conv2")(),
+                "sca": _ConvParams(dw // 2, dw // 2, name="sca")(),
+                "conv3": _ConvParams(dw // 2, c, name="conv3")(),
+                "beta": self.param("beta", nn.initializers.zeros, (c,)),
+                "norm2": _LNParams(c, name="norm2")(),
+                "conv4": _ConvParams(c, self.ffn_expand * c,
+                                     name="conv4")(),
+                "conv5": _ConvParams(c, c, name="conv5")(),
+                "gamma": self.param("gamma", nn.initializers.zeros, (c,)),
+            }
+            return nafblock_fused(inp, w)
 
         # Measured and DECLINED (BENCH_NOTES round 3): the 9-shift-FMA
         # dwconv variant removes the conv-layout copies but costs 9x the

@@ -104,7 +104,40 @@ def check_grl_qkv():
     print("grl qkv plain: compile OK")
 
 
-CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv}
+def check_nafblock():
+    """Whole-NAFBlock fused kernel (ops/pallas_nafblock.py) at the real
+    UNet level geometries of the 336x512 bench image (HR 1344x2048):
+    full-res C=64 (the traffic-dominant encoder/decoder blocks) and the
+    C=1024 middle blocks (weight-heavy: ~10 MB resident)."""
+    from freqfusion_tpu.ops.pallas_nafblock import nafblock_fused
+    sh = _tpu_sharding()
+    dt = jnp.bfloat16
+
+    def struct(*shape, d=dt):
+        return jax.ShapeDtypeStruct(shape, d, sharding=sh)
+
+    for h, w, c in ((1344, 2048, 64), (336, 512, 256), (84, 128, 1024)):
+        wtree = {
+            "norm1": {"scale": struct(c), "bias": struct(c)},
+            "conv1": {"kernel": struct(1, 1, c, 2 * c),
+                      "bias": struct(2 * c)},
+            "conv2": {"kernel": struct(3, 3, 1, 2 * c),
+                      "bias": struct(2 * c)},
+            "sca": {"kernel": struct(1, 1, c, c), "bias": struct(c)},
+            "conv3": {"kernel": struct(1, 1, c, c), "bias": struct(c)},
+            "beta": struct(c),
+            "norm2": {"scale": struct(c), "bias": struct(c)},
+            "conv4": {"kernel": struct(1, 1, c, 2 * c),
+                      "bias": struct(2 * c)},
+            "conv5": {"kernel": struct(1, 1, c, c), "bias": struct(c)},
+            "gamma": struct(c),
+        }
+        jax.jit(nafblock_fused).lower(struct(1, h, w, c), wtree).compile()
+        print(f"nafblock fused {h}x{w} C={c}: compile OK")
+
+
+CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv,
+          "nafblock": check_nafblock}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["all"]
