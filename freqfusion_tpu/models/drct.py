@@ -175,6 +175,22 @@ class SwinTransformerBlock(nn.Module):
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
         x = shortcut + x
+
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_MLP") == "1" and use_pallas():
+            # FFN half in one kernel: LN2 + fc1 + GELU + fc2 + residual,
+            # hidden stays in VMEM (~11C -> 2C bytes per pixel at ratio 4)
+            from ..ops.pallas_mlp import fused_mlp_block
+            from .param_decl import LNParams, MlpParams
+            ln2 = LNParams(c, name="norm2")()
+            mlp = MlpParams(c, int(self.dim * self.mlp_ratio),
+                            name="mlp")()
+            return fused_mlp_block(
+                x, mlp["fc1"]["kernel"], mlp["fc1"]["bias"],
+                mlp["fc2"]["kernel"], mlp["fc2"]["bias"],
+                ln2["scale"], ln2["bias"], prenorm=True, eps=1e-5)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         return x + Mlp(int(self.dim * self.mlp_ratio), self.dim,
                        name="mlp")(y)

@@ -55,6 +55,20 @@ class CAB(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_CAB") == "1" and use_pallas():
+            from ..ops.pallas_cab import cab_fused
+            from .param_decl import Conv1x1Params, Conv3x3Params
+            d, cr, sq = self.dim, self.compress_ratio, self.squeeze_factor
+            w = {
+                "cab_0": Conv3x3Params(d, d // cr, name="cab_0")(),
+                "cab_2": Conv3x3Params(d // cr, d, name="cab_2")(),
+                "ca_1": Conv1x1Params(d, d // sq, name="ca_1")(),
+                "ca_3": Conv1x1Params(d // sq, d, name="ca_3")(),
+            }
+            return cab_fused(x, w)
         y = nn.Conv(self.dim // self.compress_ratio, (3, 3),
                     padding=((1, 1), (1, 1)), name="cab_0")(x)
         y = nn.gelu(y, approximate=False)
@@ -146,6 +160,20 @@ class HAB(nn.Module):
             y = jnp.roll(y, (ss, ss), axis=(1, 2))
 
         x = shortcut + y + conv_x * self.conv_scale
+
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_MLP") == "1" and use_pallas():
+            from ..ops.pallas_mlp import fused_mlp_block
+            from .param_decl import DenseParams, LNParams
+            hid = int(self.dim * self.mlp_ratio)
+            fc1 = DenseParams(self.dim, hid, name="mlp_fc1")()
+            fc2 = DenseParams(hid, self.dim, name="mlp_fc2")()
+            ln2 = LNParams(self.dim, name="norm2")()
+            return fused_mlp_block(
+                x, fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"],
+                ln2["scale"], ln2["bias"], prenorm=True, eps=1e-5)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
         z = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(z, approximate=False))

@@ -407,6 +407,17 @@ class VSSBlock(nn.Module):
                                   expand=self.expand,
                                   scan_chunk=self.scan_chunk,
                                   name="self_attention")(y)
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_CAB") == "1" and use_pallas():
+            # whole half-block fused: LN2 + CAB + skip-scale residual in
+            # the two-pass CAB kernel (read x once per pass, write once)
+            from ..ops.pallas_cab import cab_fused
+            from .param_decl import CABParams, LNParams
+            ln2 = LNParams(self.dim, name="ln_2")()
+            w = CABParams(self.dim, 3, 30, name="conv_blk")()
+            return cab_fused(x, w, ln=ln2, skip_scale=skip_scale2)
         y2 = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         return x * skip_scale2 + CAB(self.dim, name="conv_blk")(y2)
 

@@ -86,47 +86,8 @@ class _DWConv3x3(nn.Module):
         return y + bias.astype(x.dtype)
 
 
-class _LNParams(nn.Module):
-    """Param-only stand-in with nn.LayerNorm's exact tree (scale, bias)
-    so the fused-block path declares an identical checkpoint structure."""
-
-    c: int
-
-    @nn.compact
-    def __call__(self):
-        return {"scale": self.param("scale", nn.initializers.ones,
-                                    (self.c,)),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.c,))}
-
-
-class _ConvParams(nn.Module):
-    """Param-only stand-in with Conv1x1/nn.Conv's exact tree."""
-
-    cin: int
-    cout: int
-
-    @nn.compact
-    def __call__(self):
-        return {"kernel": self.param("kernel",
-                                     nn.initializers.lecun_normal(),
-                                     (1, 1, self.cin, self.cout)),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.cout,))}
-
-
-class _DWParams(nn.Module):
-    """Param-only stand-in with the depthwise conv's exact tree."""
-
-    c: int
-
-    @nn.compact
-    def __call__(self):
-        return {"kernel": self.param("kernel",
-                                     nn.initializers.lecun_normal(),
-                                     (3, 3, 1, self.c)),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.c,))}
+from .param_decl import (Conv1x1Params as _ConvParams,  # noqa: E402
+                         DWConvParams as _DWParams, LNParams as _LNParams)
 
 
 class NAFBlock(nn.Module):

@@ -105,25 +105,7 @@ def _ln(x, scale, bias, eps=1e-6):
     return d * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w):
-    """DMA a (rh+2, rw+2, C) 1-halo block for tile (i, j); clamp the copy
-    origin at edges, roll back into alignment, return (block fp32, valid
-    mask). Same pattern as ops/pallas_dwconv.py."""
-    start_h = i * rh - 1
-    start_w = j * rw - 1
-    ch = jnp.clip(start_h, 0, h - (rh + 2))
-    cw = jnp.clip(start_w, 0, w - (rw + 2))
-    cp = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(ch, rh + 2), pl.ds(cw, rw + 2), :], buf, sem)
-    cp.start()
-    cp.wait()
-    blk = pltpu.roll(pltpu.roll(buf[:], ch - start_h, axis=0),
-                     cw - start_w, axis=1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (rh + 2, rw + 2, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (rh + 2, rw + 2, 1), 1)
-    valid = ((rows + start_h >= 0) & (rows + start_h < h)
-             & (cols + start_w >= 0) & (cols + start_w < w))
-    return blk, valid
+from .halo import halo_block as _halo_block  # noqa: E402
 
 
 def _gate_tile(blk, valid, m_ref, k_ref, v_ref, rh, rw, c, dtype):

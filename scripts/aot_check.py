@@ -136,8 +136,50 @@ def check_nafblock():
         print(f"nafblock fused {h}x{w} C={c}: compile OK")
 
 
+def check_mlp():
+    """Fused FFN kernel at the bench-geometry token counts: DRCT ratio-4
+    (244->976, the largest hidden), DRCT ratio-1 (308->308) and GRL
+    post-norm ratio-2 (180->360), all at 336x512 pixels bf16."""
+    from freqfusion_tpu.ops.pallas_mlp import fused_mlp_block
+    m = 336 * 512
+    dt = jnp.bfloat16
+    for c, ch, pre in ((244, 976, True), (308, 308, True),
+                       (180, 360, False)):
+        _aot(fused_mlp_block,
+             ((1, m, c), dt), ((c, ch), dt), ((ch,), dt), ((ch, c), dt),
+             ((c,), dt), ((c,), jnp.float32), ((c,), jnp.float32),
+             prenorm=pre, res_scale=1.0)
+        print(f"mlp fused C={c} hidden={ch} prenorm={pre}: compile OK")
+
+
+def check_cab():
+    """Fused CAB kernel at the bench geometry: GRL (180->45, branch
+    only) and MambaIR (180->60, LN+skip folded), 336x512 bf16."""
+    from freqfusion_tpu.ops.pallas_cab import cab_fused
+    sh = _tpu_sharding()
+    dt = jnp.bfloat16
+
+    def struct(*shape, d=dt):
+        return jax.ShapeDtypeStruct(shape, d, sharding=sh)
+
+    for c, cr, sq, fold in ((180, 4, 18, False), (180, 3, 30, True)):
+        ccr, csq = c // cr, c // sq
+        w = {"cab_0": {"kernel": struct(3, 3, c, ccr),
+                       "bias": struct(ccr)},
+             "cab_2": {"kernel": struct(3, 3, ccr, c), "bias": struct(c)},
+             "ca_1": {"kernel": struct(1, 1, c, csq), "bias": struct(csq)},
+             "ca_3": {"kernel": struct(1, 1, csq, c), "bias": struct(c)}}
+        ln = ({"scale": struct(c, d=jnp.float32),
+               "bias": struct(c, d=jnp.float32)} if fold else None)
+        sk = struct(c, d=jnp.float32) if fold else None
+        jax.jit(cab_fused).lower(struct(1, 336, 512, c), w, ln,
+                                 sk).compile()
+        print(f"cab fused C={c} ccr={ccr} fold={fold}: compile OK")
+
+
 CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv,
-          "nafblock": check_nafblock}
+          "nafblock": check_nafblock, "mlp": check_mlp,
+          "cab": check_cab}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["all"]
