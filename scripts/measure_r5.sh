@@ -1,7 +1,7 @@
 #!/bin/bash
 # Round-5 PRIORITIZED recovery battery. Supersedes measure_r4_fast.sh:
 # same bank-the-anchor-first ordering, plus the three round-5 byte-floor
-# kernels (NAFBLOCK / MLP / CAB — projected 400.6 -> 42.9 GB/img across
+# kernels (NAFBLOCK / MLP / CAB — projected 362.6 -> 42.9 GB/img across
 # NAFNet blocks + all FFNs + all CABs, see scripts/{nafblock,mlp,cab}_bytes.py).
 # Ordering logic (the relay has died for 13+ hour stretches mid-run):
 #   1. in-pipeline baseline                      <- the BENCH_r05 anchor

@@ -70,10 +70,12 @@ def main():
     tot_x = tot_k = 0.0
     for tag, n, c, ch, pre in CASES:
         import functools
+        # ALL operands bf16 (incl. LN params): matches the production
+        # expert_dtype=bf16 compile — fp32 LN params would upcast the
+        # whole XLA-side chain and overstate its bytes.
         cost = (jax.jit(functools.partial(ffn, prenorm=pre))
                 .lower(arg(1, P, c), arg(c, ch), arg(ch), arg(ch, c),
-                       arg(c), arg(c, d=jnp.float32),
-                       arg(c, d=jnp.float32))
+                       arg(c), arg(c), arg(c))
                 .compile().cost_analysis())
         if isinstance(cost, list):
             cost = cost[0]
