@@ -229,6 +229,19 @@ class OCAB(nn.Module):
         out = window_reverse(out, ws, h, w)
         x = nn.Dense(c, name="proj")(out) + shortcut
 
+        import os
+
+        from ..ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_MLP") == "1" and use_pallas():
+            from ..ops.pallas_mlp import fused_mlp_block
+            from .param_decl import DenseParams, LNParams
+            hid = int(c * self.mlp_ratio)
+            fc1 = DenseParams(c, hid, name="mlp_fc1")()
+            fc2 = DenseParams(hid, c, name="mlp_fc2")()
+            ln2 = LNParams(c, name="norm2")()
+            return fused_mlp_block(
+                x, fc1["kernel"], fc1["bias"], fc2["kernel"], fc2["bias"],
+                ln2["scale"], ln2["bias"], prenorm=True, eps=1e-5)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(int(c * self.mlp_ratio), name="mlp_fc1")(z)
         z = nn.Dense(c, name="mlp_fc2")(nn.gelu(z, approximate=False))

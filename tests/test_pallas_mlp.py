@@ -92,3 +92,44 @@ def test_grl_block_mlp_route_parity(monkeypatch):
     got = block.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=5e-5, rtol=5e-5)
+
+
+def test_drct_scan_variant_with_fused_mlp(monkeypatch):
+    """The fused FFN route must trace inside nn.scan over stacked params
+    (the use_scan variants are what ships through the relay)."""
+    from freqfusion_tpu.models.drct import DRCT
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 8, 8, 3))
+    model = DRCT(upscale=4, embed_dim=32, num_layers=2, num_heads=4,
+                 window_size=4, gc=8, use_scan=False)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    sr_ref, _ = model.apply(variables, x)
+
+    from freqfusion_tpu.models.pipeline import restack_params_for_scan
+    stacked = restack_params_for_scan({"drct": variables})["drct"]
+    scan_model = DRCT(upscale=4, embed_dim=32, num_layers=2, num_heads=4,
+                      window_size=4, gc=8, use_scan=True)
+
+    monkeypatch.setenv("FREQFUSION_MLP", "1")
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    sr_got, _ = scan_model.apply(stacked, x)
+    np.testing.assert_allclose(np.asarray(sr_got), np.asarray(sr_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_hat_ocab_fused_mlp_route_parity(monkeypatch):
+    from freqfusion_tpu.models.hat import OCAB
+
+    block = OCAB(dim=30, window_size=4, overlap_ratio=0.5, num_heads=3,
+                 mlp_ratio=2.0)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 30)) * 0.5
+    variables = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(variables, x)
+    monkeypatch.setenv("FREQFUSION_MLP", "1")
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    variables2 = block.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(variables2))
+    got = block.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
