@@ -34,6 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_mlp_block"]
 
 
+def _prod(t):
+    r = 1
+    for v in t:
+        r *= int(v)
+    return r
+
+
 def _ln(x, scale, bias, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     d = x - mu
@@ -86,7 +93,7 @@ def fused_mlp_block(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     orig_shape = x.shape
     c = x.shape[-1]
     ch = w1.shape[-1]
-    m = int(np_prod(orig_shape[:-1]))
+    m = _prod(orig_shape[:-1])
     x2 = x.reshape(m, c)
     rows = _pick_rows(m, c, ch)
     pad = (-m) % rows
@@ -130,10 +137,3 @@ def fused_mlp_block(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     if pad:
         out = out[:m]
     return out.reshape(orig_shape)
-
-
-def np_prod(t):
-    r = 1
-    for v in t:
-        r *= int(v)
-    return r
