@@ -70,3 +70,25 @@ def test_pipeline_missing_expert_degrades():
     sr = pipe(lr)
     assert sr.shape == (1, 64, 64, 3)
     assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_full_pipeline_all_round5_gates_on(monkeypatch):
+    """De-risk battery step [2d] (measure_r5.sh): the FULL 4-expert +
+    fusion pipeline with every round-5 byte-floor kernel gated ON must
+    trace/run and match the gates-off output. Uses the interpret path on
+    CPU; on hardware the same env set feeds bench.py directly."""
+    pipe = _tiny_pipeline()
+    rng = np.random.default_rng(3)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    sr_ref = np.asarray(pipe(lr))
+
+    monkeypatch.setenv("FREQFUSION_NAFBLOCK", "1")
+    monkeypatch.setenv("FREQFUSION_MLP", "1")
+    monkeypatch.setenv("FREQFUSION_CAB", "1")
+    monkeypatch.setenv("FREQFUSION_PALLAS", "1")
+    monkeypatch.setenv("FREQFUSION_SCAN", "xla")
+    pipe2 = _tiny_pipeline()
+    pipe2.params = pipe.params
+    sr_got = np.asarray(pipe2(lr))
+    assert np.isfinite(sr_got).all()
+    np.testing.assert_allclose(sr_got, sr_ref, atol=5e-4, rtol=5e-4)
