@@ -84,6 +84,59 @@ class HierarchicalMultiResolutionFusion(nn.Module):
         # Stage 3 — full HR
         f2_up = resize_bilinear(f2, h_hr, w_hr)
         s3_in = jnp.concatenate([f2_up, stack], axis=-1)
+
+        import os
+
+        from ...ops.dispatch import use_pallas
+        if os.environ.get("FREQFUSION_HIER") == "1" and use_pallas():
+            # whole HR stage (6 convs + gate + residuals + to_rgb) in ONE
+            # halo-6 pass (ops/pallas_hier.py). EVAL-ONLY: no VJP — the
+            # flag is for the inference bench path, never training.
+            from ..param_decl import Conv1x1Params, Conv3x3Params
+            from ...ops.pallas_hier import hier_stage3_fused
+
+            class _GateP(nn.Module):
+                c: int
+
+                @nn.compact
+                def __call__(self):
+                    return {"gate_0": Conv1x1Params(
+                                self.c, self.c // 4, name="gate_0")(),
+                            "gate_2": Conv1x1Params(
+                                self.c // 4, 1, name="gate_2")()}
+
+            class _ResP(nn.Module):
+                c: int
+
+                @nn.compact
+                def __call__(self):
+                    return {
+                        "block_0": Conv3x3Params(self.c, self.c,
+                                                 use_bias=False,
+                                                 name="block_0")(),
+                        "block_2": Conv3x3Params(self.c, self.c,
+                                                 use_bias=False,
+                                                 name="block_2")(),
+                        "scale": self.param(
+                            "scale",
+                            lambda rng: jnp.asarray(0.1, jnp.float32)),
+                    }
+
+            cin3 = s3_in.shape[-1]
+            p = {
+                "stage3_conv_0": Conv3x3Params(cin3, bc,
+                                               name="stage3_conv_0")(),
+                "stage3_conv_2": Conv3x3Params(bc, bc // 2,
+                                               name="stage3_conv_2")(),
+                "stage3_gate": _GateP(bc // 2, name="stage3_gate")(),
+                "stage3_res": _ResP(bc // 2, name="stage3_res")(),
+                "rw23": rw23,
+                "to_rgb_0": Conv3x3Params(bc // 2, bc // 4,
+                                          name="to_rgb_0")(),
+                "to_rgb_2": Conv3x3Params(bc // 4, 3, name="to_rgb_2")(),
+            }
+            return hier_stage3_fused(s3_in, p)
+
         f3 = _conv_gelu_pair(s3_in, bc, bc // 2, "stage3_conv")
         f3 = SpatialGate(name="stage3_gate")(f3)
         f3 = FusionResBlock(name="stage3_res")(f3)

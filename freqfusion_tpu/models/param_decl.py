@@ -72,18 +72,22 @@ class DWConvParams(nn.Module):
 
 
 class Conv3x3Params(nn.Module):
-    """nn.Conv(3x3) tree: {kernel [3,3,in,out], bias [out]}."""
+    """nn.Conv(3x3) tree: {kernel [3,3,in,out], bias [out]} (bias row
+    omitted when use_bias=False, matching nn.Conv's tree)."""
 
     cin: int
     cout: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
-        return {"kernel": self.param("kernel",
-                                     nn.initializers.lecun_normal(),
-                                     (3, 3, self.cin, self.cout)),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.cout,))}
+        out = {"kernel": self.param("kernel",
+                                    nn.initializers.lecun_normal(),
+                                    (3, 3, self.cin, self.cout))}
+        if self.use_bias:
+            out["bias"] = self.param("bias", nn.initializers.zeros,
+                                     (self.cout,))
+        return out
 
 
 class CABParams(nn.Module):

@@ -177,9 +177,44 @@ def check_cab():
         print(f"cab fused C={c} ccr={ccr} fold={fold}: compile OK")
 
 
+def check_hier():
+    """Fused hierarchical stage-3 kernel at the full-HR bench geometry
+    (1344x2048, 76 = 64 + 4*3 input channels), bf16."""
+    from freqfusion_tpu.ops.pallas_hier import hier_stage3_fused
+    sh = _tpu_sharding()
+    dt = jnp.bfloat16
+
+    def struct(*shape, d=dt):
+        return jax.ShapeDtypeStruct(shape, d, sharding=sh)
+
+    def c3(cin, cout, bias=True):
+        out = {"kernel": struct(3, 3, cin, cout)}
+        if bias:
+            out["bias"] = struct(cout)
+        return out
+
+    p = {
+        "stage3_conv_0": c3(76, 64),
+        "stage3_conv_2": c3(64, 32),
+        "stage3_gate": {"gate_0": {"kernel": struct(1, 1, 32, 8),
+                                   "bias": struct(8)},
+                        "gate_2": {"kernel": struct(1, 1, 8, 1),
+                                   "bias": struct(1)}},
+        "stage3_res": {"block_0": c3(32, 32, bias=False),
+                       "block_2": c3(32, 32, bias=False),
+                       "scale": struct(d=jnp.float32)},
+        "rw23": struct(d=jnp.float32),
+        "to_rgb_0": c3(32, 16),
+        "to_rgb_2": c3(16, 3),
+    }
+    jax.jit(hier_stage3_fused).lower(struct(1, 1344, 2048, 76),
+                                     p).compile()
+    print("hier stage3 fused 1344x2048x76: compile OK")
+
+
 CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv,
           "nafblock": check_nafblock, "mlp": check_mlp,
-          "cab": check_cab}
+          "cab": check_cab, "hier": check_hier}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["all"]
