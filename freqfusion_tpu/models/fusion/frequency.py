@@ -36,6 +36,12 @@ __all__ = [
     "DB4_LO_D", "DB4_HI_D",
 ]
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU()'s default, which every fusion
+    module in the reference uses (e.g. edge_enhancement.py, 17 sites)."""
+    return nn.gelu(x, approximate=False)
+
+
 # Daubechies-4 decomposition filter coefficients (public wavelet constants;
 # same values as pywt's db4 dec_lo/dec_hi used at reference :39-59).
 DB4_LO_D = np.array([
@@ -236,9 +242,9 @@ class AdaptiveBandFusion(nn.Module):
         hidden = 64
         out_ch = self.out_bands * in_ch
         t = Conv1x1(hidden, name="fusion_transform_0")(concat)
-        t = Conv1x1(out_ch, name="fusion_transform_2")(nn.gelu(t))
+        t = Conv1x1(out_ch, name="fusion_transform_2")(_gelu(t))
         g = Conv1x1(hidden, name="fusion_gate_0")(concat)
-        g = nn.sigmoid(Conv1x1(out_ch, name="fusion_gate_2")(nn.gelu(g)))
+        g = nn.sigmoid(Conv1x1(out_ch, name="fusion_gate_2")(_gelu(g)))
         fused = t * g
 
         dct_concat = jnp.concatenate(bands[:3], axis=-1)

@@ -31,6 +31,12 @@ from ...ops.conv1x1 import Conv1x1
 
 __all__ = ["DynamicExpertSelector", "CompleteEnhancedFusionSR", "EXPERT_ORDER"]
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU()'s default, which every fusion
+    module in the reference uses (e.g. edge_enhancement.py, 17 sites)."""
+    return nn.gelu(x, approximate=False)
+
+
 EXPERT_ORDER = ("drct", "grl", "nafnet", "mamba")
 
 
@@ -136,7 +142,7 @@ class CompleteEnhancedFusionSR(nn.Module):
             routing_hr = resize_bilinear(routing_lr, h_hr, w_hr)
             fl = Conv1x1(16, name="freq_weight_conv_0")(routing_hr)
             freq_logits = Conv1x1(self.num_experts,
-                                  name="freq_weight_conv_2")(nn.gelu(fl))
+                                  name="freq_weight_conv_2")(_gelu(fl))
             freq_weights = nn.softmax(freq_logits, axis=-1)
             freq_fused = sum(out * freq_weights[..., i : i + 1]
                              for i, out in enumerate(enhanced_outputs))
@@ -160,10 +166,10 @@ class CompleteEnhancedFusionSR(nn.Module):
 
         # ── Phase 7: deep CNN refinement (6 conv128 GELU, x0.1) ────────
         r = fused
-        r = nn.gelu(nn.Conv(self.refine_channels, (3, 3),
+        r = _gelu(nn.Conv(self.refine_channels, (3, 3),
                             padding=((1, 1), (1, 1)), name="refine_0")(r))
         for i in range(self.refine_depth - 2):
-            r = nn.gelu(nn.Conv(self.refine_channels, (3, 3),
+            r = _gelu(nn.Conv(self.refine_channels, (3, 3),
                                 padding=((1, 1), (1, 1)),
                                 name=f"refine_{2 * (i + 1)}")(r))
         r = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)),

@@ -18,6 +18,12 @@ from ...ops.conv1x1 import Conv1x1
 
 __all__ = ["SpatialGate", "FusionResBlock", "HierarchicalMultiResolutionFusion"]
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU()'s default, which every fusion
+    module in the reference uses (e.g. edge_enhancement.py, 17 sites)."""
+    return nn.gelu(x, approximate=False)
+
+
 
 class SpatialGate(nn.Module):
     """Per-pixel importance gate: channel squeeze -> sigmoid map."""
@@ -26,7 +32,7 @@ class SpatialGate(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         g = Conv1x1(c // 4, name="gate_0")(x)
-        g = Conv1x1(1, name="gate_2")(nn.gelu(g))
+        g = Conv1x1(1, name="gate_2")(_gelu(g))
         return x * nn.sigmoid(g)
 
 
@@ -40,14 +46,14 @@ class FusionResBlock(nn.Module):
         h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
                     name="block_0")(x)
         h = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                    name="block_2")(nn.gelu(h))
+                    name="block_2")(_gelu(h))
         return x + scale * h
 
 
 def _conv_gelu_pair(x, c1, c2, name):
     x = nn.Conv(c1, (3, 3), padding=((1, 1), (1, 1)), name=f"{name}_0")(x)
-    x = nn.Conv(c2, (3, 3), padding=((1, 1), (1, 1)), name=f"{name}_2")(nn.gelu(x))
-    return nn.gelu(x)
+    x = nn.Conv(c2, (3, 3), padding=((1, 1), (1, 1)), name=f"{name}_2")(_gelu(x))
+    return _gelu(x)
 
 
 class HierarchicalMultiResolutionFusion(nn.Module):
@@ -143,5 +149,5 @@ class HierarchicalMultiResolutionFusion(nn.Module):
         f3 = f3 + rw23 * f2_up[..., : bc // 2]
 
         out = nn.Conv(bc // 4, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb_0")(f3)
-        out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb_2")(nn.gelu(out))
+        out = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)), name="to_rgb_2")(_gelu(out))
         return nn.sigmoid(out)

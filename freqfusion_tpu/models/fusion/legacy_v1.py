@@ -41,6 +41,12 @@ __all__ = [
     "MultiFusionSR", "EnhancedMultiFusionSR", "CompleteEnhancedFusionSRV1",
 ]
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU()'s default, which every fusion
+    module in the reference uses (e.g. edge_enhancement.py, 17 sites)."""
+    return nn.gelu(x, approximate=False)
+
+
 
 class ChannelSpatialAttention(nn.Module):
     """Squeeze-excite channel attention followed by a spatial gate
@@ -390,7 +396,7 @@ class CollaborativeFeatureLearning(nn.Module):
         stacked = stacked + attn
         y = nn.LayerNorm(name="norm2")(stacked)
         y = nn.Dense(self.feature_dim * 4, name="ffn_0")(y)
-        y = nn.Dense(self.feature_dim, name="ffn_3")(nn.gelu(y))
+        y = nn.Dense(self.feature_dim, name="ffn_3")(_gelu(y))
         stacked = stacked + y
 
         out = []
@@ -551,7 +557,7 @@ class CompleteEnhancedFusionSRV1(nn.Module):
                 y = nn.Conv(3, (3, 3), padding=((1, 1), (1, 1)),
                             name=f"refine_{i}")(y)
             else:
-                y = nn.gelu(nn.Conv(
+                y = _gelu(nn.Conv(
                     self.refine_channels, (3, 3), padding=((1, 1), (1, 1)),
                     name=f"refine_{i}")(y))
         fused = fused + 0.1 * y

@@ -31,6 +31,12 @@ __all__ = [
     "EnhancedCrossBandWithLKA", "EnhancedCollaborativeWithLKA",
 ]
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU()'s default, which every fusion
+    module in the reference uses (e.g. edge_enhancement.py, 17 sites)."""
+    return nn.gelu(x, approximate=False)
+
+
 
 def _dwconv(x, kh, kw, name):
     dim = x.shape[-1]
@@ -75,7 +81,7 @@ class LKABlock(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="norm2")(x)
         h = Conv1x1(int(dim * self.ffn_ratio), name="ffn_0")(h)
-        h = Conv1x1(dim, name="ffn_2")(nn.gelu(h))
+        h = Conv1x1(dim, name="ffn_2")(_gelu(h))
         return x + scale2 * h
 
 
@@ -206,7 +212,7 @@ class EnhancedCollaborativeWithLKA(nn.Module):
         stacked = stacked + attn
         h = nn.LayerNorm(name="norm2")(stacked)
         h = nn.Dense(self.feature_dim * 2, name="ffn_0")(h)
-        h = nn.Dense(self.feature_dim, name="ffn_2")(nn.gelu(h))
+        h = nn.Dense(self.feature_dim, name="ffn_2")(_gelu(h))
         stacked = stacked + h
 
         h_sr, w_sr = expert_outputs[0].shape[1], expert_outputs[0].shape[2]
@@ -217,7 +223,7 @@ class EnhancedCollaborativeWithLKA(nn.Module):
             feat_hr = resize_bilinear(feat, h_sr, w_sr)
             m = Conv1x1(self.feature_dim // 4,
                         name=f"modulation_{i}_0")(feat_hr)
-            m = Conv1x1(3, name=f"modulation_{i}_2")(nn.gelu(m))
+            m = Conv1x1(3, name=f"modulation_{i}_2")(_gelu(m))
             mod = nn.sigmoid(m)
             e = out * (1.0 + 0.2 * (mod - 0.5))
             if not train:
