@@ -212,9 +212,40 @@ def check_hier():
     print("hier stage3 fused 1344x2048x76: compile OK")
 
 
+def check_edge():
+    """Fused edge-refine + fuse/gate kernels at the full-HR bench
+    geometry (1344x2048 plus the HR/2 and HR/4 pyramid levels), bf16."""
+    from freqfusion_tpu.ops.pallas_edge import (edge_fuse_fused,
+                                                edge_refine_fused)
+    sh = _tpu_sharding()
+    dt = jnp.bfloat16
+
+    def struct(*shape, d=dt):
+        return jax.ShapeDtypeStruct(shape, d, sharding=sh)
+
+    def c3(cin, cout):
+        return {"kernel": struct(3, 3, cin, cout), "bias": struct(cout)}
+
+    def c1(cin, cout):
+        return {"kernel": struct(1, 1, cin, cout), "bias": struct(cout)}
+
+    pr = {"proj": c1(3, 32), "conv1": c3(3, 32), "conv2": c3(32, 32),
+          "conv3": c3(32, 32), "attn_0": c1(32, 8), "attn_2": c3(8, 1)}
+    for h, w in ((1344, 2048), (672, 1024), (336, 512)):
+        jax.jit(edge_refine_fused).lower(struct(1, h, w, 3), pr).compile()
+        print(f"edge refine fused {h}x{w}: compile OK")
+    pf = {"fusion_0": c3(96, 32), "fusion_2": c3(32, 3),
+          "edge_gate_0": c3(6, 16), "edge_gate_2": c3(16, 1)}
+    jax.jit(edge_fuse_fused).lower(
+        struct(1, 1344, 2048, 3), struct(1, 1344, 2048, 32),
+        struct(1, 1344, 2048, 32), struct(1, 1344, 2048, 32),
+        struct(3, d=jnp.float32), struct(d=jnp.float32), pf).compile()
+    print("edge fuse fused 1344x2048: compile OK")
+
+
 CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv,
           "nafblock": check_nafblock, "mlp": check_mlp,
-          "cab": check_cab, "hier": check_hier}
+          "cab": check_cab, "hier": check_hier, "edge": check_edge}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["all"]
