@@ -40,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .halo import halo_block
+from .halo import pick_bands, stencil_block, stencil_specs
 
 __all__ = ["cab_fused"]
 
@@ -84,22 +84,23 @@ def _y_tile(blk, valid, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
     return _conv_bank(u, w2_ref, rh, rw, c, dtype) + b2_ref[0]
 
 
-def _pool_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, o_ref,
-                 buf, sem, *, rh, rw, h, w, ccr, c, dtype, use_ln, eps):
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w,
-                            halo=2)
+def _pool_kernel(*refs, rh, rw, dh, dw_, h, w, ccr, c, dtype, use_ln,
+                 eps):
+    stencil = refs[:9]
+    w1_ref, b1_ref, w2_ref, b2_ref, ln_ref = refs[9:14]
+    o_ref = refs[14]
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, 2, h, w)
     y = _y_tile(blk.astype(jnp.float32), valid, w1_ref, b1_ref, w2_ref,
                 b2_ref, ln_ref, rh, rw, ccr, c, dtype, use_ln, eps)
     o_ref[0, 0, 0] = jnp.sum(y, axis=(0, 1))
 
 
-def _apply_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, a_ref,
-                  sk_ref, o_ref, buf, sem, *, rh, rw, h, w, ccr, c,
-                  dtype, use_ln, use_skip, eps):
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w,
-                            halo=2)
+def _apply_kernel(*refs, rh, rw, dh, dw_, h, w, ccr, c, dtype, use_ln,
+                  use_skip, eps):
+    stencil = refs[:9]
+    w1_ref, b1_ref, w2_ref, b2_ref, ln_ref, a_ref, sk_ref = refs[9:16]
+    o_ref = refs[16]
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, 2, h, w)
     blk = blk.astype(jnp.float32)
     y = _y_tile(blk, valid, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
                 rh, rw, ccr, c, dtype, use_ln, eps)
@@ -192,10 +193,13 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
     else:
         ln_tab = jnp.zeros((2, c), f32)
 
+    rh, dh = pick_bands(h, 2, rh)
+    rw, dw_ = pick_bands(w_, 2, rw, align=8)
+    if rh is None or rw is None:
+        return _cab_xla(x, w, ln, skip_scale, eps)
     gh, gw = h // rh, w_ // rw
     grid = (b, gh, gw)
-    fixed_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
+    fixed_specs = stencil_specs(c, rh, rw, dh, dw_) + [
         pl.BlockSpec(w1.shape, lambda bi, i, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(b1.shape, lambda bi, i, j: (0, 0),
@@ -207,10 +211,8 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
         pl.BlockSpec(ln_tab.shape, lambda bi, i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    scratch = [pltpu.VMEM((rh + 4, rw + 4, c), dtype),
-               pltpu.SemaphoreType.DMA]
-    kw = dict(rh=rh, rw=rw, h=h, w=w_, ccr=ccr, c=c, dtype=dtype,
-              use_ln=ln is not None, eps=eps)
+    kw = dict(rh=rh, rw=rw, dh=dh, dw_=dw_, h=h, w=w_, ccr=ccr, c=c,
+              dtype=dtype, use_ln=ln is not None, eps=eps)
     npix = h * w_
     flops_y = npix * (2 * 9 * c * ccr * 2)
 
@@ -221,13 +223,12 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
         out_specs=pl.BlockSpec((1, 1, 1, c), lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), f32),
-        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * flops_y,
             bytes_accessed=b * npix * c * dtype.itemsize,
             transcendentals=b * npix * ccr),
         interpret=interpret,
-    )(x, w1, b1, w2, b2, ln_tab)
+    )(*([x] * 9), w1, b1, w2, b2, ln_tab)
 
     mean = jnp.sum(partials, axis=(1, 2)) / np.float32(npix)   # [B, C]
     a = mean @ w["ca_1"]["kernel"][0, 0].astype(f32) + w["ca_1"]["bias"].astype(f32)
@@ -249,10 +250,9 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
                                lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w_, c), dtype),
-        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * flops_y,
             bytes_accessed=2 * b * npix * c * dtype.itemsize,
             transcendentals=b * npix * ccr),
         interpret=interpret,
-    )(x, w1, b1, w2, b2, ln_tab, a, sk)
+    )(*([x] * 9), w1, b1, w2, b2, ln_tab, a, sk)

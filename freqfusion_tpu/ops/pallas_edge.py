@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .halo import halo_block
+from .halo import pick_bands, stencil_block, stencil_specs
 
 __all__ = ["edge_refine_fused", "edge_fuse_fused"]
 
@@ -82,12 +82,12 @@ def _make_conv(valid, halo, dtype):
 
 # ---------------------------------------------------------------- refine
 
-def _refine_kernel(x_hbm, w1_ref, w2_ref, w3_ref, pj_ref, a0_ref, a2_ref,
-                   vb_ref, o_ref, buf, sem, *, rh, rw, h, w, feat, dtype):
+def _refine_kernel(*refs, rh, rw, dh, dw_, h, w, feat, dtype):
+    stencil = refs[:9]
+    (w1_ref, w2_ref, w3_ref, pj_ref, a0_ref, a2_ref, vb_ref) = refs[9:16]
+    o_ref = refs[16]
     f32 = jnp.float32
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w,
-                            halo=_HALO)
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, _HALO, h, w)
     blk = blk.astype(f32)
     conv = _make_conv(valid, _HALO, dtype)
     fc = feat
@@ -147,9 +147,9 @@ def edge_refine_fused(lap: jnp.ndarray, p: Dict[str, Any],
         interpret = True
     dtype = lap.dtype
     feat = p["conv1"]["kernel"].shape[-1]
-    rw = min(_pick_tile(w_, max(w_ - 2 * _HALO, 1)), _pick_tile(w_, 128))
-    rh = _pick_tile(h, min(32, max(h - 2 * _HALO, 1)))
-    if (rh + 2 * _HALO) > h or (rw + 2 * _HALO) > w_:
+    rh, dh = pick_bands(h, _HALO, 32)
+    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    if rh is None or rw is None or rh >= h or rw >= w_:
         return _refine_xla(lap, p, dtype)
 
     f32 = jnp.float32
@@ -176,20 +176,17 @@ def edge_refine_fused(lap: jnp.ndarray, p: Dict[str, Any],
         shape, lambda bi, i, j: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_refine_kernel, rh=rh, rw=rw, h=h, w=w_,
-                          feat=feat, dtype=dtype),
+        functools.partial(_refine_kernel, rh=rh, rw=rw, dh=dh, dw_=dw_,
+                          h=h, w=w_, feat=feat, dtype=dtype),
         grid=(b, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  vmem(w1.shape), vmem(w2.shape), vmem(w3.shape),
-                  vmem(pj.shape), vmem(a0.shape), vmem(a2.shape),
-                  vmem(vb.shape)],
+        in_specs=stencil_specs(cin, rh, rw, dh, dw_)
+        + [vmem(w1.shape), vmem(w2.shape), vmem(w3.shape),
+           vmem(pj.shape), vmem(a0.shape), vmem(a2.shape),
+           vmem(vb.shape)],
         out_specs=pl.BlockSpec((1, rh, rw, feat),
                                lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w_, feat), dtype),
-        scratch_shapes=[pltpu.VMEM((rh + 2 * _HALO, rw + 2 * _HALO, cin),
-                                   dtype),
-                        pltpu.SemaphoreType.DMA],
         cost_estimate=pl.CostEstimate(
             flops=b * h * w_ * (9 * 2 * (cin * feat + 2 * feat * feat
                                          + ca * 1)
@@ -197,24 +194,21 @@ def edge_refine_fused(lap: jnp.ndarray, p: Dict[str, Any],
             bytes_accessed=b * h * w_ * (cin + feat) * dtype.itemsize,
             transcendentals=b * h * w_ * 3 * feat),
         interpret=interpret,
-    )(lap, w1, w2, w3, pj, a0, a2, vb)
+    )(*([lap] * 9), w1, w2, w3, pj, a0, a2, vb)
 
 
 # ------------------------------------------------------------------ fuse
 
-def _fuse_kernel(s_hbm, f0_hbm, f1_hbm, f2_hbm, wf0_ref, wf2_ref,
-                 wg0_ref, wg2_ref, vb_ref, sc_ref, o_ref,
-                 sbuf, b0, b1, b2, sem, *, rh, rw, h, w, feat, dtype):
+def _fuse_kernel(*refs, rh, rw, dh, dw_, h, w, feat, dtype):
+    sten_s, sten_0, sten_1, sten_2 = (refs[:9], refs[9:18], refs[18:27],
+                                      refs[27:36])
+    wf0_ref, wf2_ref, wg0_ref, wg2_ref, vb_ref, sc_ref = refs[36:42]
+    o_ref = refs[42]
     f32 = jnp.float32
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    sblk, valid = halo_block(s_hbm, sbuf, sem, bi, i, j, rh, rw, h, w,
-                             halo=_HALO)
-    f0b, _ = halo_block(f0_hbm, b0, sem, bi, i, j, rh, rw, h, w,
-                        halo=_HALO)
-    f1b, _ = halo_block(f1_hbm, b1, sem, bi, i, j, rh, rw, h, w,
-                        halo=_HALO)
-    f2b, _ = halo_block(f2_hbm, b2, sem, bi, i, j, rh, rw, h, w,
-                        halo=_HALO)
+    sblk, valid = stencil_block(sten_s, rh, rw, dh, dw_, _HALO, h, w)
+    f0b, _ = stencil_block(sten_0, rh, rw, dh, dw_, _HALO, h, w)
+    f1b, _ = stencil_block(sten_1, rh, rw, dh, dw_, _HALO, h, w)
+    f2b, _ = stencil_block(sten_2, rh, rw, dh, dw_, _HALO, h, w)
     sblk = sblk.astype(f32)
     conv = _make_conv(valid, _HALO, dtype)
     # weighted concat (level weights commute with the linear upsample)
@@ -266,9 +260,9 @@ def edge_fuse_fused(sr: jnp.ndarray, f0: jnp.ndarray, f1: jnp.ndarray,
         interpret = True
     dtype = sr.dtype
     feat = f0.shape[-1]
-    rw = min(_pick_tile(w_, max(w_ - 2 * _HALO, 1)), _pick_tile(w_, 128))
-    rh = _pick_tile(h, min(32, max(h - 2 * _HALO, 1)))
-    if (rh + 2 * _HALO) > h or (rw + 2 * _HALO) > w_:
+    rh, dh = pick_bands(h, _HALO, 32)
+    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    if rh is None or rw is None or rh >= h or rw >= w_:
         return _fuse_xla(sr, f0, f1, f2, lw, strength, p, dtype)
 
     f32 = jnp.float32
@@ -292,30 +286,28 @@ def edge_fuse_fused(sr: jnp.ndarray, f0: jnp.ndarray, f1: jnp.ndarray,
     vmem = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda bi, i, j: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
-    hh, ww = rh + 2 * _HALO, rw + 2 * _HALO
     return pl.pallas_call(
-        functools.partial(_fuse_kernel, rh=rh, rw=rw, h=h, w=w_,
-                          feat=feat, dtype=dtype),
+        functools.partial(_fuse_kernel, rh=rh, rw=rw, dh=dh, dw_=dw_,
+                          h=h, w=w_, feat=feat, dtype=dtype),
         grid=(b, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
-        + [vmem(wf0.shape), vmem(wf2.shape), vmem(wg0.shape),
-           vmem(wg2.shape), vmem(vb.shape), vmem(sc.shape)],
+        in_specs=(stencil_specs(3, rh, rw, dh, dw_)
+                  + stencil_specs(feat, rh, rw, dh, dw_)
+                  + stencil_specs(feat, rh, rw, dh, dw_)
+                  + stencil_specs(feat, rh, rw, dh, dw_)
+                  + [vmem(wf0.shape), vmem(wf2.shape), vmem(wg0.shape),
+                     vmem(wg2.shape), vmem(vb.shape), vmem(sc.shape)]),
         out_specs=pl.BlockSpec((1, rh, rw, 3),
                                lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w_, 3), dtype),
-        scratch_shapes=[pltpu.VMEM((hh, ww, 3), dtype),
-                        pltpu.VMEM((hh, ww, feat), dtype),
-                        pltpu.VMEM((hh, ww, feat), dtype),
-                        pltpu.VMEM((hh, ww, feat), dtype),
-                        pltpu.SemaphoreType.DMA],
         cost_estimate=pl.CostEstimate(
             flops=b * h * w_ * 9 * 2 * (3 * feat * feat + feat * 3
                                         + 6 * cg + cg),
             bytes_accessed=b * h * w_ * (6 + 3 * feat) * dtype.itemsize,
             transcendentals=b * h * w_ * 2 * feat),
         interpret=interpret,
-    )(sr, f0, f1, f2, wf0, wf2, wg0, wg2, vb, sc)
+    )(*([sr] * 9), *([f0] * 9), *([f1] * 9), *([f2] * 9),
+      wf0, wf2, wg0, wg2, vb, sc)
 
 
 def _pick_tile(dim: int, cap: int) -> int:

@@ -30,20 +30,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .halo import halo_block
+from .halo import pick_bands, stencil_block, stencil_specs
 
 __all__ = ["hier_stage3_fused"]
 
 _HALO = 6  # six 3x3 convs in the chain
 
 
-def _kernel(x_hbm, w0_ref, w2_ref, g0_ref, g2_ref, r0_ref, r2_ref,
-            t0_ref, t2_ref, vb_ref, sc_ref, o_ref, buf, sem, *,
-            rh, rw, h, w, dtype):
+def _kernel(*refs, rh, rw, dh, dw_, h, w, dtype):
+    stencil = refs[:9]
+    (w0_ref, w2_ref, g0_ref, g2_ref, r0_ref, r2_ref, t0_ref, t2_ref,
+     vb_ref, sc_ref) = refs[9:19]
+    o_ref = refs[19]
     f32 = jnp.float32
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w,
-                            halo=_HALO)
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, _HALO, h, w)
     blk = blk.astype(f32)
 
     def vslice(m):
@@ -153,10 +153,9 @@ def hier_stage3_fused(s3_in: jnp.ndarray, p: Dict[str, Any],
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     dtype = s3_in.dtype
-    rw = _pick_tile(w_, max(w_ - 2 * _HALO, 1))
-    rw = min(rw, _pick_tile(w_, 128))
-    rh = _pick_tile(h, min(32, max(h - 2 * _HALO, 1)))
-    if (rh + 2 * _HALO) > h or (rw + 2 * _HALO) > w_:
+    rh, dh = pick_bands(h, _HALO, 32)
+    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    if rh is None or rw is None or rh >= h or rw >= w_:
         return _hier_stage3_xla(s3_in, p, dtype)
 
     f32 = jnp.float32
@@ -192,24 +191,22 @@ def hier_stage3_fused(s3_in: jnp.ndarray, p: Dict[str, Any],
         shape, lambda bi, i, j: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, rh=rh, rw=rw, h=h, w=w_, dtype=dtype),
+        functools.partial(_kernel, rh=rh, rw=rw, dh=dh, dw_=dw_,
+                          h=h, w=w_, dtype=dtype),
         grid=(b, gh, gw),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  vmem(w0.shape), vmem(w2.shape), vmem(g0.shape),
-                  vmem(g2.shape), vmem(r0.shape), vmem(r2.shape),
-                  vmem(t0.shape), vmem(t2.shape), vmem(vb.shape),
-                  vmem(sc.shape)],
+        in_specs=stencil_specs(cin, rh, rw, dh, dw_)
+        + [vmem(w0.shape), vmem(w2.shape), vmem(g0.shape),
+           vmem(g2.shape), vmem(r0.shape), vmem(r2.shape),
+           vmem(t0.shape), vmem(t2.shape), vmem(vb.shape),
+           vmem(sc.shape)],
         out_specs=pl.BlockSpec((1, rh, rw, 3),
                                lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w_, 3), dtype),
-        scratch_shapes=[pltpu.VMEM((rh + 2 * _HALO, rw + 2 * _HALO, cin),
-                                   dtype),
-                        pltpu.SemaphoreType.DMA],
         cost_estimate=pl.CostEstimate(
             flops=b * h * w_ * 9 * 2 * (76 * 64 + 64 * 32 + 32 * 32 * 2
                                         + 32 * 16 + 16 * 3),
             bytes_accessed=b * h * w_ * (cin + 3) * dtype.itemsize,
             transcendentals=b * h * w_ * 120),
         interpret=interpret,
-    )(s3_in, w0, w2, g0, g2, r0, r2, t0, t2, vb, sc)
+    )(*([s3_in] * 9), w0, w2, g0, g2, r0, r2, t0, t2, vb, sc)

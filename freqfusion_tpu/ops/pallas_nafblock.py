@@ -15,7 +15,7 @@ EXCEPT the SCA global average pool over the full spatial extent, so a
 spatially-tiled single pass cannot be exact. Two passes, both fully
 fused in VMEM, with the gate recomputed in pass B instead of spilled:
 
-  pass A (pool):  per tile, DMA a 1-halo block, compute
+  pass A (pool):  per tile, assemble a 1-halo stencil block, compute
                   g = SG(dw(conv1(LN1(x)))) and emit the per-tile
                   channel sum. Reads x once, writes gh*gw*C partials.
   host-side:      s = sca_kernel @ mean(g) + sca_bias   (per batch, [C])
@@ -105,7 +105,7 @@ def _ln(x, scale, bias, eps=1e-6):
     return d * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-from .halo import halo_block as _halo_block  # noqa: E402
+from .halo import pick_bands, stencil_block, stencil_specs  # noqa: E402
 
 
 def _gate_tile(blk, valid, m_ref, k_ref, v_ref, rh, rw, c, dtype):
@@ -136,20 +136,19 @@ def _gate_tile(blk, valid, m_ref, k_ref, v_ref, rh, rw, c, dtype):
     return halves[0] * halves[1]
 
 
-def _pool_kernel(x_hbm, m_ref, k_ref, v_ref, o_ref, buf, sem, *,
-                 rh, rw, h, w, c, dtype):
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = _halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w)
+def _pool_kernel(*refs, rh, rw, dh, dw_, h, w, c, dtype):
+    stencil, (m_ref, k_ref, v_ref), o_ref = refs[:9], refs[9:12], refs[12]
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, 1, h, w)
     g = _gate_tile(blk.astype(jnp.float32), valid, m_ref, k_ref, v_ref,
                    rh, rw, c, dtype)
     o_ref[0, 0, 0] = jnp.sum(g, axis=(0, 1))
 
 
-def _apply_kernel(x_hbm, m_ref, k_ref, v_ref, s_ref, o_ref, buf, sem, *,
-                  rh, rw, h, w, c, dtype):
+def _apply_kernel(*refs, rh, rw, dh, dw_, h, w, c, dtype):
+    stencil, (m_ref, k_ref, v_ref, s_ref), o_ref = (refs[:9], refs[9:13],
+                                                    refs[13])
     f32 = jnp.float32
-    bi, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    blk, valid = _halo_block(x_hbm, buf, sem, bi, i, j, rh, rw, h, w)
+    blk, valid = stencil_block(stencil, rh, rw, dh, dw_, 1, h, w)
     blk = blk.astype(f32)
     g = _gate_tile(blk, valid, m_ref, k_ref, v_ref, rh, rw, c, dtype)
 
@@ -242,11 +241,14 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
     if h < 3 or w_ < 3 or (rh + 2) > h or (rw + 2) > w_:
         return nafblock_xla_ref(x, w)
 
+    rh, dh = pick_bands(h, 1, rh)
+    rw, dw_ = pick_bands(w_, 1, rw, align=8)
+    if rh is None or rw is None:
+        return nafblock_xla_ref(x, w)
     mats, dwk, vecs, sca_k, sca_b = pack_nafblock_weights(w, c, dtype)
     gh, gw = h // rh, w_ // rw
     grid = (b, gh, gw)
-    fixed_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),
+    fixed_specs = stencil_specs(c, rh, rw, dh, dw_) + [
         pl.BlockSpec(mats.shape, lambda bi, i, j: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(dwk.shape, lambda bi, i, j: (0, 0, 0, 0),
@@ -254,9 +256,7 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
         pl.BlockSpec(vecs.shape, lambda bi, i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    scratch = [pltpu.VMEM((rh + 2, rw + 2, c), dtype),
-               pltpu.SemaphoreType.DMA]
-    kw = dict(rh=rh, rw=rw, h=h, w=w_, c=c, dtype=dtype)
+    kw = dict(rh=rh, rw=rw, dh=dh, dw_=dw_, h=h, w=w_, c=c, dtype=dtype)
     npix = h * w_
     flops_gate = npix * c * (2 * 2 * c + 2 * 18 + 1)
 
@@ -267,13 +267,12 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
         out_specs=pl.BlockSpec((1, 1, 1, c), lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), jnp.float32),
-        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * flops_gate,
             bytes_accessed=b * npix * c * dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, mats, dwk, vecs)
+    )(*([x] * 9), mats, dwk, vecs)
 
     mean = jnp.sum(partials, axis=(1, 2)) / np.float32(npix)   # [B, C]
     s = mean @ sca_k + sca_b                                   # [B, C]
@@ -288,10 +287,9 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
                                lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w_, c), dtype),
-        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * (flops_gate + npix * c * (2 * 3 * c + 8)),
             bytes_accessed=2 * b * npix * c * dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(x, mats, dwk, vecs, s)
+    )(*([x] * 9), mats, dwk, vecs, s)
