@@ -70,9 +70,52 @@ class LKABlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        import os
+
         dim = x.shape[-1]
         scale1 = self.param("scale1", lambda rng: jnp.asarray(0.1, jnp.float32))
         scale2 = self.param("scale2", lambda rng: jnp.asarray(0.1, jnp.float32))
+
+        from ...ops.dispatch import use_pallas
+        if (not train and use_pallas()
+                and os.environ.get("FREQFUSION_LKA") == "1"):
+            # whole block (BN -> 21x21-decomposed LKA -> gate -> BN ->
+            # FFN, both residuals) in ONE halo-12 pass
+            # (ops/pallas_lka.py). EVAL-ONLY: no VJP and eval-BN
+            # affine folding — training uses the flax route.
+            from ..param_decl import BNParams, Conv1x1Params, DWKParams
+            from ...ops.pallas_lka import lka_block_fused
+
+            class _LKAP(nn.Module):
+                d: int
+
+                @nn.compact
+                def __call__(self):
+                    return {
+                        "local_conv": DWKParams(5, 5, self.d,
+                                                name="local_conv")(),
+                        "h_conv": DWKParams(1, 21, self.d,
+                                            name="h_conv")(),
+                        "v_conv": DWKParams(21, 1, self.d,
+                                            name="v_conv")(),
+                        "pw_conv": Conv1x1Params(self.d, self.d,
+                                                 use_bias=False,
+                                                 name="pw_conv")(),
+                        "bn": BNParams(self.d, name="bn")(),
+                    }
+
+            p = {
+                "norm1": BNParams(dim, name="norm1")(),
+                "lka": _LKAP(dim, name="lka")(),
+                "scale1": scale1,
+                "norm2": BNParams(dim, name="norm2")(),
+                "ffn_0": Conv1x1Params(dim, int(dim * self.ffn_ratio),
+                                       name="ffn_0")(),
+                "ffn_2": Conv1x1Params(int(dim * self.ffn_ratio), dim,
+                                       name="ffn_2")(),
+                "scale2": scale2,
+            }
+            return lka_block_fused(x, p)
 
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="norm1")(x)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 
 __all__ = ["LNParams", "DenseParams", "Conv1x1Params", "DWConvParams",
+           "BNParams", "DWKParams",
            "MlpParams"]
 
 
@@ -43,18 +44,22 @@ class DenseParams(nn.Module):
 
 
 class Conv1x1Params(nn.Module):
-    """Conv1x1/nn.Conv(k=1) tree: {kernel [1,1,in,out], bias [out]}."""
+    """Conv1x1/nn.Conv(k=1) tree: {kernel [1,1,in,out], bias [out]}
+    (bias omitted when use_bias=False, matching Conv1x1's tree)."""
 
     cin: int
     cout: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
-        return {"kernel": self.param("kernel",
-                                     nn.initializers.lecun_normal(),
-                                     (1, 1, self.cin, self.cout)),
-                "bias": self.param("bias", nn.initializers.zeros,
-                                   (self.cout,))}
+        out = {"kernel": self.param("kernel",
+                                    nn.initializers.lecun_normal(),
+                                    (1, 1, self.cin, self.cout))}
+        if self.use_bias:
+            out["bias"] = self.param("bias", nn.initializers.zeros,
+                                     (self.cout,))
+        return out
 
 
 class DWConvParams(nn.Module):
@@ -119,3 +124,37 @@ class MlpParams(nn.Module):
     def __call__(self):
         return {"fc1": DenseParams(self.cin, self.hidden, name="fc1")(),
                 "fc2": DenseParams(self.hidden, self.cin, name="fc2")()}
+
+
+class BNParams(nn.Module):
+    """nn.BatchNorm's trees, merged into one dict: params {scale, bias}
+    + batch_stats {mean, var} (same names/shapes/initializers)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        import jax.numpy as jnp
+        return {
+            "scale": self.param("scale", nn.initializers.ones, (self.c,)),
+            "bias": self.param("bias", nn.initializers.zeros, (self.c,)),
+            "mean": self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((self.c,))).value,
+            "var": self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((self.c,))).value,
+        }
+
+
+class DWKParams(nn.Module):
+    """Depthwise nn.Conv(kh x kw, groups=C, no bias) tree:
+    {kernel [kh, kw, 1, C]}."""
+
+    kh: int
+    kw: int
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        return {"kernel": self.param("kernel",
+                                     nn.initializers.lecun_normal(),
+                                     (self.kh, self.kw, 1, self.c))}
