@@ -116,21 +116,34 @@ def bench_full(h, w, scale):
     return per_img, metric
 
 
-def _relay_alive(timeout_s: int = 120) -> bool:
+def _relay_alive(timeout_s: int = 120, attempts: int = 8,
+                 wait_s: int = 30) -> bool:
     """Probe the axon relay with a trivial jit in a subprocess (the relay
     has gone down for multi-hour stretches — a dead relay makes every jit
-    hang, so the probe must be killable)."""
+    hang, so the probe must be killable). The relay also FLAPS on a
+    minutes scale while a wedged worker restarts (observed 2026-08-19:
+    single-shot probes recorded spurious RELAY_DOWN minutes after a
+    successful probe), so retry a few recovery windows before declaring
+    it down — bounded at ~attempts*(probe+wait) so the driver never
+    hangs."""
     import subprocess
     import sys
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jax.jit(lambda a: a*2)"
             "(jnp.ones((64,64))))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            print(f"relay probe {i + 1}/{attempts} failed; "
+                  f"retrying in {wait_s}s", flush=True)
+            time.sleep(wait_s)
+    return False
 
 
 def main() -> None:
