@@ -49,6 +49,17 @@ w = jnp.asarray(rng.normal(0, 1, (3, 3, 1, 64)).astype(np.float32))
 y = dwconv3x3_pallas(x, w, jnp.zeros((64,), jnp.float32))
 print("sum", float(jnp.sum(y)))
 """,
+    "cab": """
+import os; os.environ["FREQFUSION_CAB"] = "1"
+import jax, jax.numpy as jnp, numpy as np
+from freqfusion_tpu.models.grl import CAB
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.normal(0, 1, (1, 336, 512, 180)).astype(np.float32)).astype(jnp.bfloat16)
+m = CAB(180)
+v = m.init(jax.random.PRNGKey(0), x)
+out = m.apply(v, x)
+print("sum", float(jnp.sum(out.astype(jnp.float32))))
+""",
     "hier": """
 import jax, jax.numpy as jnp, numpy as np
 import os; os.environ["FREQFUSION_HIER"] = "1"; os.environ["FREQFUSION_PALLAS"] = "1"
