@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .halo import pick_bands, stencil_block, stencil_specs
+from .kmath import gelu_exact
 
 __all__ = ["cab_fused"]
 
@@ -79,7 +80,7 @@ def _y_tile(blk, valid, w1_ref, b1_ref, w2_ref, b2_ref, ln_ref,
         t = _ln(t, ln_ref[0], ln_ref[1], eps)
     t = jnp.where(valid, t, jnp.zeros_like(t))
     u = _conv_bank(t, w1_ref, rh + 2, rw + 2, ccr, dtype) + b1_ref[0]
-    u = jax.nn.gelu(u, approximate=False)
+    u = gelu_exact(u)  # erf-free: relay Mosaic lacks erfc (kmath.py)
     u = jnp.where(valid[1:-1, 1:-1], u, jnp.zeros_like(u))
     return _conv_bank(u, w2_ref, rh, rw, c, dtype) + b2_ref[0]
 
@@ -220,9 +221,13 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
         functools.partial(_pool_kernel, **kw),
         grid=grid,
         in_specs=fixed_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, c), lambda bi, i, j: (bi, i, j, 0),
+        # [B, gh*gw, 1, C] layout: the production Mosaic checker needs
+        # the last two block dims 8/128-divisible OR equal to the array
+        # dims (see ops/pallas_nafblock.py pool receipt).
+        out_specs=pl.BlockSpec((1, 1, 1, c),
+                               lambda bi, i, j: (bi, i * gw + j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), f32),
+        out_shape=jax.ShapeDtypeStruct((b, gh * gw, 1, c), f32),
         cost_estimate=pl.CostEstimate(
             flops=b * flops_y,
             bytes_accessed=b * npix * c * dtype.itemsize,
@@ -233,7 +238,7 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
     mean = jnp.sum(partials, axis=(1, 2)) / np.float32(npix)   # [B, C]
     a = mean @ w["ca_1"]["kernel"][0, 0].astype(f32) + w["ca_1"]["bias"].astype(f32)
     a = jax.nn.relu(a) @ w["ca_3"]["kernel"][0, 0].astype(f32) + w["ca_3"]["bias"].astype(f32)
-    a = jax.nn.sigmoid(a)                                      # [B, C]
+    a = jax.nn.sigmoid(a).reshape(b, 1, c)  # [B,1,C]: legal block @ b>1
 
     use_skip = skip_scale is not None
     sk = (skip_scale.astype(f32).reshape(1, c) if use_skip
@@ -242,7 +247,7 @@ def cab_fused(x: jnp.ndarray, w: Dict[str, Any],
         functools.partial(_apply_kernel, use_skip=use_skip, **kw),
         grid=grid,
         in_specs=fixed_specs + [
-            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0),
+            pl.BlockSpec((1, 1, c), lambda bi, i, j: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.VMEM)],

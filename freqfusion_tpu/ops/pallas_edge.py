@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .halo import pick_bands, stencil_block, stencil_specs
+from .kmath import gelu_exact
 
 __all__ = ["edge_refine_fused", "edge_fuse_fused"]
 
@@ -48,8 +49,11 @@ _HALO = 4  # refine: conv1+conv2+conv3 chained (3) + attn_2 (1)
 
 def _gelu(x):
     # torch nn.GELU() default = exact erf (17 sites across the
-    # reference's fusion modules); matches models/fusion/_gelu.
-    return jax.nn.gelu(x, approximate=False)
+    # reference's fusion modules); matches models/fusion/_gelu to ~1e-6.
+    # erf-free form: the relay's Mosaic toolchain has no erfc lowering
+    # (ops/kmath.py); shared with the tiny-input XLA fallback for
+    # route consistency.
+    return gelu_exact(x)
 
 
 def _make_conv(valid, halo, dtype):

@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .halo import pick_bands, stencil_block, stencil_specs
+from .kmath import gelu_exact
 
 __all__ = ["hier_stage3_fused"]
 
@@ -67,7 +68,7 @@ def _kernel(*refs, rh, rw, dh, dw_, h, w, dtype):
                 acc = part if acc is None else acc + part
         return acc if b is None else acc + b
 
-    gelu = functools.partial(jax.nn.gelu, approximate=False)
+    gelu = gelu_exact  # erf-free exact GELU: relay Mosaic lacks erfc
     c1 = w0_ref.shape[-1]     # bc
     c2 = w2_ref.shape[-1]     # bc // 2
     cg = g0_ref.shape[-1]     # bc // 8 (SpatialGate squeeze = c2 // 4)

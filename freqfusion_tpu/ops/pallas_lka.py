@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .halo import pick_bands, stencil_block, stencil_specs
+from .kmath import gelu_exact
 
 __all__ = ["lka_block_fused"]
 
@@ -44,7 +45,9 @@ _EPS = 1e-5
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # exact-erf GELU in erf-free form (relay Mosaic lacks erfc,
+    # ops/kmath.py); matches jax.nn.gelu(approximate=False) to ~1e-6.
+    return gelu_exact(x)
 
 
 def _kernel(*refs, rh, rw, dh, dw_, h, w, c, dtype):

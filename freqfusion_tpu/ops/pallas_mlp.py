@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kmath import gelu_exact
+
 __all__ = ["fused_mlp_block"]
 
 
@@ -56,7 +58,7 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, lb_ref, o_ref,
     h = jax.lax.dot_general(t.astype(dtype), w1_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)
-    h = jax.nn.gelu(h + b1_ref[0], approximate=False)
+    h = gelu_exact(h + b1_ref[0])  # erf-free: relay Mosaic lacks erfc
     y = jax.lax.dot_general(h.astype(dtype), w2_ref[:],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)

@@ -260,13 +260,18 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
     npix = h * w_
     flops_gate = npix * c * (2 * 2 * c + 2 * 18 + 1)
 
+    # partials laid out [B, gh*gw, 1, C]: the production Mosaic checker
+    # requires each of the last two block dims to be 8/128-divisible OR
+    # equal to the full array dim — (1, c) over (gh, c) fails, (1, c)
+    # over (1, c) passes (probe receipt MEASURE_r5c / probe_c0).
     partials = pl.pallas_call(
         functools.partial(_pool_kernel, **kw),
         grid=grid,
         in_specs=fixed_specs,
-        out_specs=pl.BlockSpec((1, 1, 1, c), lambda bi, i, j: (bi, i, j, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, c),
+                               lambda bi, i, j: (bi, i * gw + j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, gh, gw, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, gh * gw, 1, c), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=b * flops_gate,
             bytes_accessed=b * npix * c * dtype.itemsize,
@@ -275,13 +280,13 @@ def nafblock_fused(x: jnp.ndarray, w: Dict[str, Any],
     )(*([x] * 9), mats, dwk, vecs)
 
     mean = jnp.sum(partials, axis=(1, 2)) / np.float32(npix)   # [B, C]
-    s = mean @ sca_k + sca_b                                   # [B, C]
+    s = (mean @ sca_k + sca_b).reshape(b, 1, c)  # [B,1,C]: legal block
 
     return pl.pallas_call(
         functools.partial(_apply_kernel, **kw),
         grid=grid,
         in_specs=fixed_specs + [
-            pl.BlockSpec((1, c), lambda bi, i, j: (bi, 0),
+            pl.BlockSpec((1, 1, c), lambda bi, i, j: (bi, 0, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, rh, rw, c),
                                lambda bi, i, j: (bi, i, j, 0),
