@@ -119,12 +119,19 @@ def _pick_tile(dim: int, cap: int) -> int:
 
 
 def _tiles(h: int, w: int, c: int, ccr: int, itemsize: int,
-           budget: int = 12 * 1024 * 1024):
+           budget: int = 8 * 1024 * 1024):
+    # 8M budget (not the 16M scoped-vmem cap): the model below still
+    # understates Mosaic's stack residency ~2x — the C=180 probe measured
+    # 20.79M actual against a 9.4M modeled cost. 8M keeps actual ~11M.
     weights = 9 * (c * ccr + ccr * c) * itemsize + (2 * c + ccr) * 4
 
     def cost(rh, rw):
         hh, ww = rh + 4, rw + 4
-        return (hh * ww * c * (itemsize + 4)     # halo buf + fp32 block
+        # 2x on the input-block term: the 9 pipelined stencil refs are
+        # double-buffered, so ~2 tiles of x.dtype are resident beyond the
+        # assembled fp32 block (hardware receipt: C=180 probe hit 20.79M
+        # actual vs 16M scoped-vmem limit under the old 12M model).
+        return (hh * ww * c * (2 * itemsize + 4)  # stencil bufs + fp32 blk
                 + hh * ww * max(c, ccr) * 4      # dot-segment temp
                 + hh * ww * ccr * 4              # gelu'd u
                 + rh * rw * c * 4 * 2            # y + out

@@ -151,8 +151,10 @@ def edge_refine_fused(lap: jnp.ndarray, p: Dict[str, Any],
         interpret = True
     dtype = lap.dtype
     feat = p["conv1"]["kernel"].shape[-1]
-    rh, dh = pick_bands(h, _HALO, 32)
-    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    # (16, 64) caps: the relay's scoped-vmem limit rejected the
+    # sibling halo kernels at (24-32, 128)-class tiles (probe_c1).
+    rh, dh = pick_bands(h, _HALO, 16)
+    rw, dw_ = pick_bands(w_, _HALO, 64, align=8)
     if rh is None or rw is None or rh >= h or rw >= w_:
         return _refine_xla(lap, p, dtype)
 
@@ -264,8 +266,10 @@ def edge_fuse_fused(sr: jnp.ndarray, f0: jnp.ndarray, f1: jnp.ndarray,
         interpret = True
     dtype = sr.dtype
     feat = f0.shape[-1]
-    rh, dh = pick_bands(h, _HALO, 32)
-    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    # (16, 64) caps: the relay's scoped-vmem limit rejected the
+    # sibling halo kernels at (24-32, 128)-class tiles (probe_c1).
+    rh, dh = pick_bands(h, _HALO, 16)
+    rw, dw_ = pick_bands(w_, _HALO, 64, align=8)
     if rh is None or rw is None or rh >= h or rw >= w_:
         return _fuse_xla(sr, f0, f1, f2, lw, strength, p, dtype)
 

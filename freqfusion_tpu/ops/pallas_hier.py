@@ -154,8 +154,10 @@ def hier_stage3_fused(s3_in: jnp.ndarray, p: Dict[str, Any],
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     dtype = s3_in.dtype
-    rh, dh = pick_bands(h, _HALO, 32)
-    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    # (16, 64) caps: the relay's scoped-vmem limit rejected the
+    # sibling halo kernels at (24-32, 128)-class tiles (probe_c1).
+    rh, dh = pick_bands(h, _HALO, 16)
+    rw, dw_ = pick_bands(w_, _HALO, 64, align=8)
     if rh is None or rw is None or rh >= h or rw >= w_:
         return _hier_stage3_xla(s3_in, p, dtype)
 

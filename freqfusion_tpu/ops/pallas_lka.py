@@ -160,8 +160,11 @@ def lka_block_fused(x: jnp.ndarray, p: Dict[str, Any],
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
     dtype = x.dtype
-    rh, dh = pick_bands(h, _HALO, 24)
-    rw, dw_ = pick_bands(w_, _HALO, 128, align=8)
+    # caps calibrated to the relay's scoped-vmem limit: (24, 128) hit
+    # 26.91M vs the 16M cap on hardware (probe_c1); (16, 64) ~halves
+    # the resident halo-block area.
+    rh, dh = pick_bands(h, _HALO, 16)
+    rw, dw_ = pick_bands(w_, _HALO, 64, align=8)
     if rh is None or rw is None or rh >= h or rw >= w_:
         return _lka_xla(x, p, dtype)
 
