@@ -186,10 +186,20 @@ class SS2D(nn.Module):
                 selective_scan_pallas_chain_fused,
                 selective_scan_pallas_chain_proj)
 
-            # VERDICT-r2 item 9: flag-gated approximate scan (independent
-            # per-chain zero inits; skips the summary+compose passes).
-            # Ships OFF — measured in BENCH_NOTES, gated on self-PSNR.
-            approx = os.environ.get("FREQFUSION_SCAN_APPROX", "0") == "1"
+            # VERDICT-r2 item 9: approximate scan (independent per-chain
+            # zero inits; skips the summary+compose passes). DEFAULT ON
+            # real TPU: at converted weights its self-PSNR is 61.15 dB —
+            # above the 54 dB end-to-end bf16 floor (tests/test_bf16_e2e)
+            # — for -18.6% s/img standalone and 1.165 -> 1.229 MP/s
+            # in-pipeline (BENCH_NOTES r5 D2/F0). Exact on CPU so parity
+            # tests compare true S6 semantics; FREQFUSION_SCAN_APPROX=0/1
+            # forces either way. MambaIR is a frozen expert (forward
+            # only), so this never touches a gradient path.
+            approx_env = os.environ.get("FREQFUSION_SCAN_APPROX")
+            if approx_env is None:
+                approx = jax.default_backend() != "cpu"
+            else:
+                approx = approx_env == "1"
 
             A_p = jnp.pad(A, [(0, 0), (0, pad_d), (0, 0)])
             D_p = jnp.pad(Dsk, [(0, 0), (0, pad_d)])

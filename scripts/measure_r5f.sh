@@ -21,6 +21,8 @@ print(float(jnp.sum(jax.jit(lambda a: a*2)(jnp.ones((8,8))))))" >/dev/null 2>&1;
 
 B() { timeout 1800 python /root/repo/bench.py 2>&1 | tail -3; }
 {
+echo "=== $(date) [F0] approx chain-init scan in-pipeline A/B (D2: 61.15 dB @ converted, -18.6% on MambaIR standalone) ==="
+probe && FREQFUSION_SCAN_APPROX=1 B
 echo "=== $(date) [F1] batch=2 (amortization row) ==="
 probe && BENCH_BATCH=2 B
 echo "=== $(date) [F2] trace of the shipping config ==="
