@@ -7,14 +7,19 @@ einsums to batched tiny matmuls/convolutions and materializes the
 [P, nH, T, T] logits through HBM: the round-3 fusion trace prices the
 block at ~130 ms/img (qk 25.6 + softmax 50 + out 25 + head copies ~29).
 
-This kernel keeps one block of pixels entirely in VMEM:
-    qkv  = x @ Win + b        (ONE MXU dot; the 1/sqrt(hd) scale is
-                               folded into Win's q-section offline)
-    T    = transpose to [T*3E, pb] — pixels on lanes, tokens/channels
-           on sublanes, so every q_i.k_j product is a [hd, pb] slab
-           multiply + sublane reduce (no batched tiny matmuls at all)
-    softmax over the 9 logit rows per (i, head), fp32
-    out  = sum_j w_j * v_j slabs, transpose back, @ Wout + b
+The kernel keeps one block of pixels entirely in VMEM, in a fully
+TRANSPOSED formulation chosen for the production (relay) Mosaic
+toolchain: the host hands the kernel [T, E, pb] tiles (tokens major,
+channels on sublanes, pixels on lanes), the packed projection runs as
+ONE batched dot over the token axis (winT broadcast to [T, 3E, E]), and
+every per-(token, head) q/k/v slab is a CONTIGUOUS 16-aligned sublane
+slice of the [T, 3E, pb] result. Nothing in the kernel reshapes
+sublanes into lanes or transposes a minor dim — the first formulation
+([pb*T, 3E] -> [pb, T*3E] reshape) was rejected by the relay's
+older Mosaic with "infer-vector-layout: unsupported shape cast"
+(MEASURE_r5f.log [F3]); major-dim collapses, batched dots and sublane
+slices are the relay-proven vocabulary (ops/pallas_attention.py).
+
 Reference semantics: torch nn.MultiheadAttention as used at
 src/models/large_kernel_attention.py:222-229 / :385-392 (eval mode —
 the kernel route is only taken when dropout is inactive).
@@ -37,22 +42,22 @@ def _token_attn_kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
     hd = e // nh
     dt = x_ref.dtype
     f32 = jnp.float32
-    x2 = x_ref[...].reshape(pb * t, e)
-    qkv = jax.lax.dot_general(x2, win_ref[:], (((1,), (0,)), ((), ())),
-                              preferred_element_type=f32)
-    qkv = (qkv + bin_ref[:].astype(f32)).astype(dt)      # [pb*T, 3E]
-    xt = qkv.reshape(pb, t * 3 * e)
-    xT = xt.T                                            # [T*3E, pb]
+    x = x_ref[...]                                       # [T, E, pb]
+    # qkvT[i] = winT @ x[i] + b : one batched dot over the token axis
+    # (the 1/sqrt(hd) q-scale is folded into winT's q-rows offline)
+    winb = jnp.broadcast_to(win_ref[:][None], (t,) + win_ref.shape)
+    qkvT = jax.lax.dot_general(winb, x, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=f32)
+    qkvT = (qkvT + bin_ref[:][None].astype(f32)).astype(dt)  # [T, 3E, pb]
 
     out_rows = []
     for i in range(t):
         row_i = []
         for h in range(nh):
-            q = xT[i * 3 * e + h * hd: i * 3 * e + (h + 1) * hd]
+            q = qkvT[i, h * hd: (h + 1) * hd]            # [hd, pb]
             logits = []
             for j in range(t):
-                k = xT[j * 3 * e + e + h * hd:
-                       j * 3 * e + e + (h + 1) * hd]
+                k = qkvT[j, e + h * hd: e + (h + 1) * hd]
                 logits.append(jnp.sum((q * k).astype(f32), axis=0,
                                       keepdims=True))    # [1, pb]
             L = jnp.concatenate(logits, axis=0)          # [T, pb]
@@ -61,18 +66,16 @@ def _token_attn_kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
             W = (L / L.sum(axis=0, keepdims=True)).astype(dt)
             acc = None
             for j in range(t):
-                v = xT[j * 3 * e + 2 * e + h * hd:
-                       j * 3 * e + 2 * e + (h + 1) * hd]
+                v = qkvT[j, 2 * e + h * hd: 2 * e + (h + 1) * hd]
                 term = W[j: j + 1].astype(f32) * v.astype(f32)
                 acc = term if acc is None else acc + term
             row_i.append(acc.astype(dt))                 # [hd, pb]
         out_rows.append(jnp.concatenate(row_i, axis=0))  # [E, pb]
-    OT = jnp.concatenate(out_rows, axis=0)               # [T*E, pb]
-    o2 = OT.T.reshape(pb * t, e)
-    out = jax.lax.dot_general(o2, wout_ref[:], (((1,), (0,)), ((), ())),
+    OT = jnp.stack(out_rows, axis=0)                     # [T, E, pb]
+    woutb = jnp.broadcast_to(wout_ref[:][None], (t,) + wout_ref.shape)
+    out = jax.lax.dot_general(woutb, OT, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=f32)
-    out = (out + bout_ref[:].astype(f32)).astype(o_ref.dtype)
-    o_ref[...] = out.reshape(pb, t, e)
+    o_ref[...] = (out + bout_ref[:][None].astype(f32)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -89,22 +92,26 @@ def fused_token_attention(x: jnp.ndarray,
     if not interpret and jax.default_backend() == "cpu":
         interpret = True
 
-    # fold the 1/sqrt(hd) q-scale into the q-section of the projection
+    # fold the 1/sqrt(hd) q-scale into the q-section of the projection;
+    # the kernel consumes the TRANSPOSED weights ([3E, E] / [E, E]) and
+    # column biases so its dots produce channel-on-sublane slabs directly
     scale = jnp.asarray(hd, jnp.float32) ** -0.5
     win = jnp.concatenate(
         [in_proj_w[:, :e].astype(jnp.float32) * scale,
          in_proj_w[:, e:].astype(jnp.float32)], axis=1).astype(x.dtype)
+    win_t = win.T                                        # [3E, E]
     bin_ = jnp.concatenate(
         [in_proj_b[:e].astype(jnp.float32) * scale,
-         in_proj_b[e:].astype(jnp.float32)]).reshape(1, 3 * e).astype(
+         in_proj_b[e:].astype(jnp.float32)]).reshape(3 * e, 1).astype(
             x.dtype)
-    wout = out_w.astype(x.dtype)
-    bout = out_b.reshape(1, e).astype(x.dtype)
+    wout_t = out_w.astype(x.dtype).T                     # [E, E]
+    bout = out_b.reshape(e, 1).astype(x.dtype)
 
     pb = 512
     pp = -(-p // pb) * pb
     if pp != p:
         x = jnp.pad(x, [(0, pp - p), (0, 0), (0, 0)])
+    xt = x.transpose(1, 2, 0)                            # [T, E, pp]
 
     def const(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
@@ -114,12 +121,12 @@ def fused_token_attention(x: jnp.ndarray,
         functools.partial(_token_attn_kernel, t=t, e=e, nh=num_heads,
                           pb=pb),
         grid=(pp // pb,),
-        in_specs=[pl.BlockSpec((pb, t, e), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((t, e, pb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-                  const(win), const(bin_), const(wout), const(bout)],
-        out_specs=pl.BlockSpec((pb, t, e), lambda i: (i, 0, 0),
+                  const(win_t), const(bin_), const(wout_t), const(bout)],
+        out_specs=pl.BlockSpec((t, e, pb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pp, t, e), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((t, e, pp), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=pp * t * (2 * e * 3 * e + 2 * e * e)
             + pp * num_heads * t * t * hd * 4,
@@ -127,5 +134,5 @@ def fused_token_attention(x: jnp.ndarray,
             transcendentals=pp * num_heads * t * t,
         ),
         interpret=interpret,
-    )(x, win, bin_, wout, bout)
-    return out[:p]
+    )(xt, win_t, bin_, wout_t, bout)
+    return out.transpose(2, 0, 1)[:p]

@@ -243,9 +243,24 @@ def check_edge():
     print("edge fuse fused 1344x2048: compile OK")
 
 
+def check_token_attn():
+    """Fused per-pixel token MHA (ops/pallas_token_attention.py,
+    transposed [T, E, pb] formulation after the relay's reshape
+    rejection, MEASURE_r5f [F3]) at both fusion-net geometries."""
+    from freqfusion_tpu.ops.pallas_token_attention import (
+        fused_token_attention)
+    dt = jnp.bfloat16
+    for p, t, e, nh in ((86016, 9, 64, 4), (86016, 4, 128, 8)):
+        _aot(fused_token_attention,
+             ((p, t, e), dt), ((e, 3 * e), dt), ((3 * e,), dt),
+             ((e, e), dt), ((e,), dt), num_heads=nh)
+        print(f"token attn P={p} T={t} E={e} nh={nh}: compile OK")
+
+
 CHECKS = {"scan_rev": check_scan_rev, "grl_qkv": check_grl_qkv,
           "nafblock": check_nafblock, "mlp": check_mlp,
-          "cab": check_cab, "hier": check_hier, "edge": check_edge}
+          "cab": check_cab, "hier": check_hier, "edge": check_edge,
+          "token_attn": check_token_attn}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["all"]

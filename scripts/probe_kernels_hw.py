@@ -83,6 +83,16 @@ v = m.init(jax.random.PRNGKey(0), sr)
 out = m.apply(v, sr)
 print("sum", float(jnp.sum(out)))
 """,
+    "token_attn": """
+import jax, jax.numpy as jnp, numpy as np
+from freqfusion_tpu.ops.pallas_token_attention import fused_token_attention
+rng = np.random.default_rng(0)
+p, t, e, nh = 86016, 9, 64, 4
+x = jnp.asarray(rng.normal(0, 1, (p, t, e)).astype(np.float32)).astype(jnp.bfloat16)
+a = lambda *s: jnp.asarray(rng.normal(0, 0.02, s).astype(np.float32)).astype(jnp.bfloat16)
+y = fused_token_attention(x, a(e, 3 * e), a(3 * e), a(e, e), a(e), num_heads=nh)
+print("sum", float(jnp.sum(y.astype(jnp.float32))))
+""",
     "lka": """
 import jax, jax.numpy as jnp, numpy as np
 import os; os.environ["FREQFUSION_LKA"] = "1"; os.environ["FREQFUSION_PALLAS"] = "1"
