@@ -54,21 +54,17 @@ def _token_attn_kernel(x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
     for i in range(t):
         row_i = []
         for h in range(nh):
+            # every slice below is a 16-aligned sublane slab of qkvT's
+            # middle dim; no extent-1 / unaligned slices (the relay's
+            # Mosaic aborts on those — MEASURE_r5g.log [G0])
             q = qkvT[i, h * hd: (h + 1) * hd]            # [hd, pb]
-            logits = []
-            for j in range(t):
-                k = qkvT[j, e + h * hd: e + (h + 1) * hd]
-                logits.append(jnp.sum((q * k).astype(f32), axis=0,
-                                      keepdims=True))    # [1, pb]
-            L = jnp.concatenate(logits, axis=0)          # [T, pb]
+            K = qkvT[:, e + h * hd: e + (h + 1) * hd]    # [T, hd, pb]
+            L = jnp.sum((q[None] * K).astype(f32), axis=1)  # [T, pb]
             L = L - L.max(axis=0, keepdims=True)
             L = jnp.exp(L)
-            W = (L / L.sum(axis=0, keepdims=True)).astype(dt)
-            acc = None
-            for j in range(t):
-                v = qkvT[j, 2 * e + h * hd: 2 * e + (h + 1) * hd]
-                term = W[j: j + 1].astype(f32) * v.astype(f32)
-                acc = term if acc is None else acc + term
+            W = L / L.sum(axis=0, keepdims=True)         # [T, pb] f32
+            V = qkvT[:, 2 * e + h * hd: 2 * e + (h + 1) * hd]
+            acc = jnp.sum(W[:, None] * V.astype(f32), axis=0)
             row_i.append(acc.astype(dt))                 # [hd, pb]
         out_rows.append(jnp.concatenate(row_i, axis=0))  # [E, pb]
     OT = jnp.stack(out_rows, axis=0)                     # [T, E, pb]
@@ -100,14 +96,18 @@ def fused_token_attention(x: jnp.ndarray,
         [in_proj_w[:, :e].astype(jnp.float32) * scale,
          in_proj_w[:, e:].astype(jnp.float32)], axis=1).astype(x.dtype)
     win_t = win.T                                        # [3E, E]
-    bin_ = jnp.concatenate(
-        [in_proj_b[:e].astype(jnp.float32) * scale,
-         in_proj_b[e:].astype(jnp.float32)]).reshape(3 * e, 1).astype(
-            x.dtype)
     wout_t = out_w.astype(x.dtype).T                     # [E, E]
-    bout = out_b.reshape(e, 1).astype(x.dtype)
 
     pb = 512
+    # biases pre-broadcast to full lane width: a [3E, 1]/[E, 1] block has
+    # lane extent 1, which the relay's Mosaic rejects (hard abort,
+    # MEASURE_r5g.log [G0]); [., pb] constants are tiny (<=196 KB) and
+    # DMA'd once (constant index map)
+    bin_ = jnp.broadcast_to(jnp.concatenate(
+        [in_proj_b[:e].astype(jnp.float32) * scale,
+         in_proj_b[e:].astype(jnp.float32)]).astype(x.dtype)[:, None],
+        (3 * e, pb))
+    bout = jnp.broadcast_to(out_b.astype(x.dtype)[:, None], (e, pb))
     pp = -(-p // pb) * pb
     if pp != p:
         x = jnp.pad(x, [(0, pp - p), (0, 0), (0, 0)])
