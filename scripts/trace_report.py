@@ -49,6 +49,42 @@ def bucket(name: str) -> str:
     return name.split(".")[0].split("(")[0]
 
 
+# Source-file -> pipeline stage, checked in stack order (first hit wins),
+# so kernel frames (ops/*) attribute to the model that invoked them when a
+# model frame is present, and to their own stage mapping otherwise.
+_STAGE_PATTERNS = (
+    ("models/fusion/", "fusion"),
+    ("models/drct.py", "drct"),
+    ("models/grl.py", "grl"),
+    ("models/nafnet.py", "nafnet"),
+    ("models/mambair.py", "mamba"),
+    ("models/hat.py", "hat"),
+    ("models/dat.py", "dat"),
+    ("models/edsr.py", "edsr"),
+    ("ops/selective_scan.py", "mamba"),
+    ("ops/dft.py", "fusion"),
+    ("models/pipeline.py", "pipeline-glue"),
+)
+
+
+def stage_of(e) -> str:
+    st = e.get("args", {}).get("source_stack", "")
+    hits = []
+    for ln in st.split("\n"):
+        if not ln.startswith("/root/repo"):
+            continue
+        for pat, stage in _STAGE_PATTERNS:
+            if pat in ln:
+                hits.append(stage)
+                break
+    # Prefer a model-stage frame over glue; deepest repo frame is listed
+    # first in source_stack, so take the first non-glue hit.
+    for s in hits:
+        if s != "pipeline-glue":
+            return s
+    return hits[0] if hits else "unattributed"
+
+
 def report(tdir: str, top: int = 25) -> None:
     leaves = [e for e in load_leaves(tdir)
               if not e["name"].startswith(("jit_", "$"))]
@@ -66,6 +102,14 @@ def report(tdir: str, top: int = 25) -> None:
     print("--- (bucket, source) top ---")
     for (b, s), d in bysrc.most_common(top):
         print(f"{d/1e3:9.2f} ms x{cnt[(b, s)]:5d}  {b:34s} {s}")
+    bystage = collections.Counter()
+    for e in leaves:
+        bystage[stage_of(e)] += e["dur"]
+    print("--- stage walls (roofline --times input) ---")
+    times = {s: d / 1e6 for s, d in bystage.items()}
+    for s, d in bystage.most_common():
+        print(f"{d/1e3:9.2f} ms  {s}")
+    print(json.dumps({k: round(v, 4) for k, v in sorted(times.items())}))
 
 
 if __name__ == "__main__":
